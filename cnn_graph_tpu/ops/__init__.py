@@ -1,0 +1,30 @@
+"""Device compute ops: spectral filters, Laplacian operators, pooling."""
+
+from cnn_graph_tpu.ops.filters import (
+    cheby_basis,
+    cheby_conv,
+    cheby_weights_from_flat,
+    fourier_conv,
+)
+from cnn_graph_tpu.ops.laplacian import (
+    BCOOLaplacian,
+    BlockSparseLaplacian,
+    DenseLaplacian,
+    device_laplacian,
+    pack_block_sparse,
+)
+from cnn_graph_tpu.ops.pooling import avg_pool, max_pool
+
+__all__ = [
+    "cheby_basis",
+    "cheby_conv",
+    "cheby_weights_from_flat",
+    "fourier_conv",
+    "BCOOLaplacian",
+    "BlockSparseLaplacian",
+    "DenseLaplacian",
+    "device_laplacian",
+    "pack_block_sparse",
+    "avg_pool",
+    "max_pool",
+]

@@ -1,0 +1,108 @@
+"""Spectral graph filters: the device compute path.
+
+TPU-native equivalents of the reference's filter layer (functional
+``cheby_conv``/``fourier_conv`` in lib/filter.py:45/30 and the method-style
+``chebyshev5``/``chebyshev2``/``fourier`` in lib/graph_conv.py:83-176).
+Everything here is a pure jittable function of ``(x, operator, params)``:
+
+* the Chebyshev recurrence runs as K-1 Laplacian products in whichever
+  format the operator carries (dense MXU matmul / block-sparse / BCOO),
+  followed by ONE large ``[B*M, K*F] @ [K*F, Fout]`` MXU matmul that fuses
+  the per-hop filter taps;
+* the Fourier filter is two dense basis matmuls around a per-node mix —
+  trivially MXU-shaped (the reference bakes U in as a graph constant,
+  filter.py:37; here U is just an array argument).
+
+Conventions: activations are ``[B, M, F]`` (batch, node, feature);
+Chebyshev weights are ``[K, Fin, Fout]`` (the reference flattens to
+``[K*Fin, Fout]`` with Fin-major order, filter.py:64 — use
+``cheby_weights_from_flat`` for exact migration); Fourier weights are
+``[M, Fout, Fin]`` (filter.py:40).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cnn_graph_tpu.ops.laplacian import LaplacianOperator
+
+__all__ = [
+    "cheby_basis",
+    "cheby_conv",
+    "fourier_conv",
+    "cheby_weights_from_flat",
+]
+
+
+def _pad_nodes(x: jax.Array, m_padded: int) -> jax.Array:
+    """Zero-pad the node axis of [M, ...] to the operator's padded size."""
+    m = x.shape[0]
+    if m == m_padded:
+        return x
+    return jnp.pad(x, [(0, m_padded - m)] + [(0, 0)] * (x.ndim - 1))
+
+
+def cheby_basis(x: jax.Array, L: LaplacianOperator, K: int) -> jax.Array:
+    """Stacked Chebyshev basis ``T_k(L) x`` for k < K.
+
+    ``x``: [B, M, F]  ->  returns [K, B, M, F].
+
+    The recurrence ``T_k = 2 L T_{k-1} - T_{k-2}`` (graphs.construction.
+    chebyshev_basis is the NumPy oracle) runs on the node axis with the
+    feature*batch axes flattened into the lane dimension, so each hop is a
+    single wide matmul rather than a batched loop.
+    """
+    B, M, F = x.shape
+    xt = _pad_nodes(jnp.transpose(x, (1, 2, 0)).reshape(M, F * B), L.m_padded)
+
+    basis = [xt]
+    if K > 1:
+        basis.append(L.matmul(xt))
+    for _ in range(2, K):
+        basis.append(2.0 * L.matmul(basis[-1]) - basis[-2])
+
+    stacked = jnp.stack(basis)  # [K, Mp, F*B]
+    stacked = stacked[:, :M].reshape(K, M, F, B)
+    return jnp.transpose(stacked, (0, 3, 1, 2))  # [K, B, M, F]
+
+
+def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array) -> jax.Array:
+    """Chebyshev-polynomial spectral graph convolution.
+
+    ``x``: [B, M, Fin], ``w``: [K, Fin, Fout]  ->  [B, M, Fout].
+
+    Equivalent computation to the reference's ``cheby_conv``
+    (lib/filter.py:45-95) / ``chebyshev5`` (lib/graph_conv.py:144-176):
+    y = sum_k T_k(L) x W_k, with the K taps folded into one MXU matmul.
+    """
+    K, Fin, Fout = w.shape
+    B, M, F = x.shape
+    assert F == Fin, f"feature mismatch: x has {F}, w expects {Fin}"
+
+    basis = cheby_basis(x, L, K)  # [K, B, M, Fin]
+    return jnp.einsum(
+        "kbmf,kfo->bmo", basis, w, preferred_element_type=x.dtype
+    )
+
+
+def cheby_weights_from_flat(w_flat: jax.Array, K: int, Fin: int) -> jax.Array:
+    """Convert reference-layout weights ``[K*Fin, Fout]`` (Fin-major: row
+    index = fin*K + k, see graph_conv.py:171-174) to ``[K, Fin, Fout]``."""
+    Fout = w_flat.shape[1]
+    return jnp.transpose(w_flat.reshape(Fin, K, Fout), (1, 0, 2))
+
+
+def fourier_conv(x: jax.Array, U: jax.Array, w: jax.Array) -> jax.Array:
+    """Non-parametric spectral filter in the full Fourier basis.
+
+    ``x``: [B, M, Fin], ``U``: [M, M] eigenvector basis (columns =
+    eigenvectors, ascending eigenvalues), ``w``: [M, Fout, Fin] per-frequency
+    mixing weights  ->  [B, M, Fout].
+
+    Math parity with ``filter_in_fourier_conv`` (lib/filter.py:11-27):
+    out = U ( W_lambda . (U^T x) ).
+    """
+    xhat = jnp.einsum("ml,bmf->blf", U, x, preferred_element_type=x.dtype)
+    filtered = jnp.einsum("lof,blf->blo", w, xhat, preferred_element_type=x.dtype)
+    return jnp.einsum("ml,blo->bmo", U, filtered, preferred_element_type=x.dtype)

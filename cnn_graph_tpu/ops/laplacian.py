@@ -1,0 +1,225 @@
+"""Device-resident graph Laplacian operators.
+
+The reference keeps the rescaled Laplacian as a ``tf.SparseTensor`` and
+multiplies it with ``tf.sparse_tensor_dense_matmul`` inside the Chebyshev
+recurrence (lib/filter.py:81,85; lib/graph_conv.py:163-169).  On TPU a
+row-gather SpMM is the wrong shape for the hardware; instead we ship the
+Laplacian in one of three formats chosen by graph size:
+
+* ``dense``  — zero-padded dense ``[Mp, Mp]`` matrix; the recurrence becomes
+  plain MXU matmuls.  Fastest for small graphs (Mp <= ~2k) where the dense
+  FLOPs are cheaper than any gather.
+* ``bsr``    — block-sparse rows: the matrix is tiled into dense
+  ``bs x bs`` blocks (bs = 128, the MXU tile) and only nonzero blocks are
+  stored.  Combined with a bandwidth-reducing node ordering
+  (graphs/construction.py:bandwidth_reducing_permutation) a kNN graph's
+  blocks hug the diagonal, so the SpMM is a short sequence of dense MXU
+  matmuls plus a segment-sum — no scalar gathers.  A Pallas kernel
+  (ops/pallas_spmm.py) implements the same contraction with double-buffered
+  DMA for large graphs.
+* ``bcoo``   — ``jax.experimental.sparse`` fallback, mainly for CPU tests.
+
+All operators are pytrees, so they can be closed over or passed through
+``jax.jit`` / ``shard_map`` like any other array bundle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+
+from cnn_graph_tpu.graphs.construction import rescale_laplacian
+
+__all__ = [
+    "DenseLaplacian",
+    "BlockSparseLaplacian",
+    "BCOOLaplacian",
+    "device_laplacian",
+    "pack_block_sparse",
+]
+
+MXU_TILE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mat"],
+    meta_fields=["m", "m_padded", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class DenseLaplacian:
+    """Rescaled Laplacian as a zero-padded dense matrix."""
+
+    mat: jax.Array  # [Mp, Mp]
+    m: int
+    m_padded: int
+    nnz: int
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """``L @ x`` for ``x`` of shape ``[Mp, C]``."""
+        return jnp.dot(self.mat, x, preferred_element_type=x.dtype)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blocks", "block_rows", "block_cols"],
+    meta_fields=["m", "m_padded", "nnz", "block_size", "use_pallas"],
+)
+@dataclasses.dataclass(frozen=True)
+class BlockSparseLaplacian:
+    """Rescaled Laplacian as dense MXU-tile blocks at nonzero positions.
+
+    ``blocks[i]`` is the dense ``bs x bs`` tile at block coordinates
+    ``(block_rows[i], block_cols[i])``; blocks are sorted by row so the
+    row-wise reduction is a segment-sum over a sorted index.
+    """
+
+    blocks: jax.Array  # [nb, bs, bs]
+    block_rows: jax.Array  # [nb] int32, sorted ascending
+    block_cols: jax.Array  # [nb] int32
+    m: int
+    m_padded: int
+    nnz: int
+    block_size: int
+    use_pallas: bool
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """``L @ x`` for ``x`` of shape ``[Mp, C]``."""
+        if self.use_pallas:
+            from cnn_graph_tpu.ops.pallas_spmm import bsr_spmm
+
+            return bsr_spmm(self, x)
+        bs = self.block_size
+        n_row_blocks = self.m_padded // bs
+        xb = x.reshape(n_row_blocks, bs, -1)
+        gathered = jnp.take(xb, self.block_cols, axis=0)  # [nb, bs, C]
+        partial = jnp.einsum(
+            "nij,njc->nic", self.blocks, gathered,
+            preferred_element_type=x.dtype,
+        )
+        yb = jax.ops.segment_sum(
+            partial, self.block_rows, num_segments=n_row_blocks,
+            indices_are_sorted=True,
+        )
+        return yb.reshape(x.shape).astype(x.dtype)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bcoo"],
+    meta_fields=["m", "m_padded", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class BCOOLaplacian:
+    """``jax.experimental.sparse`` BCOO fallback (CPU tests, odd shapes)."""
+
+    bcoo: Any
+    m: int
+    m_padded: int
+    nnz: int
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        return self.bcoo @ x
+
+
+LaplacianOperator = DenseLaplacian | BlockSparseLaplacian | BCOOLaplacian
+
+
+def pack_block_sparse(L: scipy.sparse.spmatrix, block_size: int = MXU_TILE):
+    """Tile a sparse matrix into dense blocks, keeping nonzero tiles only.
+
+    Returns ``(blocks, block_rows, block_cols, m_padded)`` as NumPy arrays,
+    blocks sorted by (row, col).
+    """
+    m = L.shape[0]
+    mp = _round_up(m, block_size)
+    nb_side = mp // block_size
+    coo = L.tocoo()
+    br = coo.row // block_size
+    bc = coo.col // block_size
+    block_ids = br * nb_side + bc
+    unique_ids = np.unique(block_ids)
+
+    blocks = np.zeros((len(unique_ids), block_size, block_size), dtype=np.float32)
+    slot = np.searchsorted(unique_ids, block_ids)
+    blocks[slot, coo.row % block_size, coo.col % block_size] = coo.data
+
+    return (
+        blocks,
+        (unique_ids // nb_side).astype(np.int32),
+        (unique_ids % nb_side).astype(np.int32),
+        mp,
+    )
+
+
+def device_laplacian(
+    L: scipy.sparse.spmatrix,
+    lmax: float = 2.0,
+    fmt: str = "auto",
+    block_size: int = MXU_TILE,
+    dtype=jnp.float32,
+    rescale: bool = True,
+    use_pallas: bool = False,
+    dense_threshold: int = 2048,
+) -> LaplacianOperator:
+    """Build a device operator for the (rescaled) Laplacian.
+
+    ``fmt`` is ``dense`` / ``bsr`` / ``bcoo`` / ``auto`` (dense for small
+    graphs, block-sparse beyond ``dense_threshold`` nodes).  ``rescale``
+    applies the spectral map ``2 L / lmax - I`` (the reference rescales
+    inside every filter call, graph_conv.py:148-149; we do it once here).
+    """
+    if rescale:
+        L = rescale_laplacian(L, lmax=lmax)
+    L = L.tocsr()
+    L.eliminate_zeros()
+    m = L.shape[0]
+    nnz = int(L.nnz)
+
+    if fmt == "auto":
+        fmt = "dense" if m <= dense_threshold else "bsr"
+
+    if fmt == "dense":
+        mp = _round_up(m, 8)
+        dense = np.zeros((mp, mp), dtype=np.float32)
+        dense[:m, :m] = L.toarray()
+        return DenseLaplacian(
+            mat=jnp.asarray(dense, dtype=dtype), m=m, m_padded=mp, nnz=nnz
+        )
+
+    if fmt == "bsr":
+        blocks, brows, bcols, mp = pack_block_sparse(L, block_size)
+        return BlockSparseLaplacian(
+            blocks=jnp.asarray(blocks, dtype=dtype),
+            block_rows=jnp.asarray(brows),
+            block_cols=jnp.asarray(bcols),
+            m=m,
+            m_padded=mp,
+            nnz=nnz,
+            block_size=block_size,
+            use_pallas=use_pallas,
+        )
+
+    if fmt == "bcoo":
+        from jax.experimental import sparse as jsparse
+
+        mp = _round_up(m, 8)
+        coo = L.tocoo()
+        indices = np.stack([coo.row, coo.col], axis=1).astype(np.int32)
+        mat = jsparse.BCOO(
+            (jnp.asarray(coo.data, dtype=dtype), jnp.asarray(indices)),
+            shape=(mp, mp),
+        )
+        return BCOOLaplacian(bcoo=mat, m=m, m_padded=mp, nnz=nnz)
+
+    raise ValueError(f"unknown Laplacian format {fmt!r}")

@@ -1,0 +1,160 @@
+"""Device-op tests: Laplacian operator formats, Chebyshev/Fourier filters,
+pooling — all validated against NumPy oracles from graphs/construction.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_graph_tpu.graphs import construction as gc
+from cnn_graph_tpu.ops import (
+    cheby_basis,
+    cheby_conv,
+    cheby_weights_from_flat,
+    device_laplacian,
+    fourier_conv,
+    avg_pool,
+    max_pool,
+)
+
+
+@pytest.fixture(params=["dense", "bsr", "bcoo"])
+def lap_op(request, small_graph):
+    _, L, _ = small_graph
+    return device_laplacian(L, lmax=2.0, fmt=request.param, block_size=16)
+
+
+class TestLaplacianOperator:
+    def test_matmul_matches_scipy(self, small_graph, lap_op):
+        _, L, _ = small_graph
+        Lr = gc.rescale_laplacian(L, 2.0)
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(60, 12)).astype(np.float32)
+        Xp = np.zeros((lap_op.m_padded, 12), np.float32)
+        Xp[:60] = X
+        out = np.asarray(lap_op.matmul(jnp.asarray(Xp)))
+        np.testing.assert_allclose(out[:60], Lr @ X, atol=1e-4)
+        np.testing.assert_allclose(out[60:], 0.0, atol=1e-6)
+
+    def test_operator_is_pytree(self, lap_op):
+        leaves = jax.tree_util.tree_leaves(lap_op)
+        assert all(hasattr(l, "shape") for l in leaves)
+
+        @jax.jit
+        def f(op, x):
+            return op.matmul(x)
+
+        x = jnp.ones((lap_op.m_padded, 8), jnp.float32)
+        np.testing.assert_allclose(f(lap_op, x), lap_op.matmul(x), atol=1e-6)
+
+    def test_auto_format_selection(self, small_graph):
+        _, L, _ = small_graph
+        op = device_laplacian(L, fmt="auto")
+        assert type(op).__name__ == "DenseLaplacian"  # 60 nodes -> dense
+        op2 = device_laplacian(L, fmt="auto", dense_threshold=10)
+        assert type(op2).__name__ == "BlockSparseLaplacian"
+
+
+class TestChebyConv:
+    def test_basis_matches_numpy_oracle(self, small_graph, lap_op):
+        _, _, Lr = small_graph
+        rng = np.random.default_rng(1)
+        B, M, F, K = 4, 60, 3, 7
+        x = rng.normal(size=(B, M, F)).astype(np.float32)
+
+        got = np.asarray(cheby_basis(jnp.asarray(x), lap_op, K))  # [K,B,M,F]
+        # Oracle works on [M, N] columns: flatten features*batch.
+        X_flat = x.transpose(1, 2, 0).reshape(M, F * B)
+        want = gc.chebyshev_basis(Lr, X_flat.astype(np.float64), K)
+        want = want.reshape(K, M, F, B).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_conv_equals_manual_sum(self, small_graph, lap_op):
+        rng = np.random.default_rng(2)
+        B, M, Fin, Fout, K = 2, 60, 4, 5, 6
+        x = rng.normal(size=(B, M, Fin)).astype(np.float32)
+        w = rng.normal(size=(K, Fin, Fout)).astype(np.float32) * 0.1
+
+        got = np.asarray(cheby_conv(jnp.asarray(x), lap_op, jnp.asarray(w)))
+        basis = np.asarray(cheby_basis(jnp.asarray(x), lap_op, K))
+        want = np.einsum("kbmf,kfo->bmo", basis, w)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        assert got.shape == (B, M, Fout)
+
+    def test_identity_filter(self, small_graph, lap_op):
+        # w selecting only T_0 with identity mixing reproduces the input.
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(3, 60, 2)).astype(np.float32)
+        w = np.zeros((4, 2, 2), np.float32)
+        w[0] = np.eye(2)
+        out = np.asarray(cheby_conv(jnp.asarray(x), lap_op, jnp.asarray(w)))
+        np.testing.assert_allclose(out, x, atol=1e-5)
+
+    def test_flat_weight_conversion(self):
+        K, Fin, Fout = 3, 2, 4
+        rng = np.random.default_rng(4)
+        w_flat = rng.normal(size=(K * Fin, Fout)).astype(np.float32)
+        w = np.asarray(cheby_weights_from_flat(jnp.asarray(w_flat), K, Fin))
+        # Reference layout: row index = fin * K + k (graph_conv.py:170-174).
+        for k in range(K):
+            for f in range(Fin):
+                np.testing.assert_allclose(w[k, f], w_flat[f * K + k])
+
+    def test_grad_flows(self, small_graph, lap_op):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 60, 3)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(4, 3, 2)).astype(np.float32))
+
+        def loss(w):
+            return jnp.sum(cheby_conv(x, lap_op, w) ** 2)
+
+        g = jax.grad(loss)(w)
+        assert g.shape == w.shape
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+
+class TestFourierConv:
+    def test_identity_weights_reconstruct(self, small_graph):
+        # W[m] = I for all frequencies: U I U^T x = x.
+        _, L, _ = small_graph
+        lam, U = gc.fourier(L)
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(2, 60, 3)).astype(np.float32)
+        w = np.tile(np.eye(3, dtype=np.float32), (60, 1, 1))
+        out = np.asarray(
+            fourier_conv(jnp.asarray(x), jnp.asarray(U, jnp.float32), jnp.asarray(w))
+        )
+        np.testing.assert_allclose(out, x, atol=1e-3)
+
+    def test_spectral_filter_diagonalizes(self, small_graph):
+        # A filter diag(h(lam)) in the Fourier domain equals applying h(L).
+        _, L, _ = small_graph
+        lam, U = gc.fourier(L)
+        h = np.exp(-lam).astype(np.float32)  # heat kernel
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(1, 60, 1)).astype(np.float32)
+        w = h[:, None, None] * np.ones((60, 1, 1), np.float32)
+        out = np.asarray(
+            fourier_conv(jnp.asarray(x), jnp.asarray(U, jnp.float32), jnp.asarray(w))
+        )
+        want = (U @ np.diag(h) @ U.T @ x[0, :, 0])[None, :, None]
+        np.testing.assert_allclose(out, want, atol=1e-3)
+
+
+class TestPooling:
+    def test_max_pool_picks_real_over_fake(self):
+        # Fake nodes are zeros; with ReLU activations >= 0, max picks real.
+        x = jnp.asarray([[[1.0], [0.0], [3.0], [2.0]]])  # [1, 4, 1]
+        out = max_pool(x, 2)
+        np.testing.assert_allclose(out[0, :, 0], [1.0, 3.0])
+
+    def test_avg_pool(self):
+        x = jnp.arange(8.0).reshape(1, 8, 1)
+        out = avg_pool(x, 4)
+        np.testing.assert_allclose(out[0, :, 0], [1.5, 5.5])
+
+    def test_pool_size_one_is_identity(self):
+        x = jnp.ones((2, 4, 3))
+        assert max_pool(x, 1) is x
+        assert avg_pool(x, 1) is x
