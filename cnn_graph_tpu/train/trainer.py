@@ -1,0 +1,259 @@
+"""Training runtime: jitted steps, device-resident data, periodic eval.
+
+The TPU-native replacement for the reference's ``GraphModel`` runtime
+(lib/graph_model.py): where the reference drives a ``tf.Session`` from a
+Python loop with per-step ``feed_dict`` transfers and fetches every
+registered tensor each step (graph_model.py:142-163), this trainer
+
+* keeps the full training set device-resident and gathers each batch
+  on-device from an index vector, so the host->device path per step is a
+  [batch] int32 array (critical here: host<->TPU transfers ride a tunnel);
+* runs loss/grad/update/EMA as ONE jitted function with donated state, so
+  steps queue asynchronously and the host only syncs at eval points;
+* samples batches without replacement, epoch-permutation style (the
+  deque-based sampler of graph_model.py:139-147, minus the deque);
+* evaluates periodically with a batched, padded, jitted predict
+  (graph_model.py:64-94 semantics, including zero-padding the last batch).
+
+Optimizers: Adam with staircase exponential LR decay (graph_model.py:277-310)
+plus the sgd / rmsprop / gradient-clipping options of the self-contained
+gconvRNN trainer (gconvRNN.py:381-417), expressed as an optax chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ["TrainConfig", "Trainer"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    num_epochs: int = 20
+    learning_rate: float = 0.1
+    decay_rate: float = 0.95
+    decay_steps: int | None = None
+    momentum: float = 0.9
+    batch_size: int = 100
+    eval_frequency: int = 200
+    optimizer: str = "adam"  # adam | sgd | rmsprop
+    grad_clip: float | None = None  # global-norm clip (gconvRNN.py:399)
+    seed: int = 2017
+    loss_ema_decay: float = 0.9  # graph_model.py:266
+
+
+class Trainer:
+    """Drives a model exposing ``init(key)``, ``loss(params, x, y, train,
+    rng)`` and ``apply(params, x)``.
+
+    ``task`` selects the prediction head + eval metric:
+    ``regression`` — ReLU prediction head and MSE (graph_model.py:233-244,
+    :116); ``classification`` — argmax head, accuracy + weighted F1.
+    """
+
+    def __init__(self, model, config: TrainConfig, task: str = "regression"):
+        assert task in ("regression", "classification")
+        self.model = model
+        self.config = config
+        self.task = task
+        self.params = None
+        self.opt_state = None
+        self._build()
+
+    # ---- construction ----
+
+    def _schedule(self):
+        c = self.config
+        if c.decay_rate != 1 and c.decay_steps:
+            return optax.exponential_decay(
+                c.learning_rate,
+                transition_steps=c.decay_steps,
+                decay_rate=c.decay_rate,
+                staircase=True,
+            )
+        return c.learning_rate
+
+    def _build(self):
+        c = self.config
+        sched = self._schedule()
+        if c.optimizer == "adam":
+            opt = optax.adam(sched)
+        elif c.optimizer == "sgd":
+            opt = (
+                optax.sgd(sched, momentum=c.momentum)
+                if c.momentum
+                else optax.sgd(sched)
+            )
+        elif c.optimizer == "rmsprop":
+            opt = optax.rmsprop(sched, decay=0.9)
+        else:
+            raise ValueError(f"unknown optimizer {c.optimizer!r}")
+        if c.grad_clip:
+            opt = optax.chain(optax.clip_by_global_norm(c.grad_clip), opt)
+        self.optimizer = opt
+
+        model, task = self.model, self.task
+
+        def train_step(params, opt_state, ema, rng, data, labels, idx):
+            x = jnp.take(data, idx, axis=0)
+            y = jnp.take(labels, idx, axis=0)
+            rng, step_rng = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(model.loss)(
+                params, x, y, train=True, rng=step_rng
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema = jnp.where(
+                ema < 0, loss, c.loss_ema_decay * ema + (1 - c.loss_ema_decay) * loss
+            )
+            return params, opt_state, ema, rng, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+        def predict_batch(params, x):
+            out = model.apply(params, x)
+            if task == "regression":
+                return jax.nn.relu(out)  # graph_model.py:241
+            return out  # logits; argmax on host side
+
+        self._predict_batch = jax.jit(predict_batch)
+
+        def eval_batch(params, x, y):
+            out = model.apply(params, x)
+            loss = model.loss(params, x, y)
+            return (jax.nn.relu(out) if task == "regression" else out), loss
+
+        self._eval_batch = jax.jit(eval_batch)
+
+    # ---- high-level API (fit / predict / evaluate) ----
+
+    def fit(self, train_data, train_labels, val_data, val_labels,
+            verbose: bool = True):
+        """Train; returns ``(metric_history, val_losses, t_step_seconds)``
+        exactly like GraphModel.fit (graph_model.py:196-197)."""
+        c = self.config
+        t_wall = time.time()
+        rng = jax.random.PRNGKey(c.seed)
+        if self.params is None:
+            rng, init_rng = jax.random.split(rng)
+            self.params = self.model.init(init_rng)
+        self.opt_state = self.optimizer.init(self.params)
+
+        n = train_data.shape[0]
+        data = jnp.asarray(train_data)
+        labels = jnp.asarray(train_labels)
+        num_steps = int(c.num_epochs * n / c.batch_size)
+
+        ema = jnp.float32(-1.0)
+        sampler = _EpochSampler(n, c.seed)
+        metric_hist, loss_hist = [], []
+
+        params, opt_state = self.params, self.opt_state
+        for step in range(1, num_steps + 1):
+            idx = jnp.asarray(sampler.next_batch(c.batch_size))
+            params, opt_state, ema, rng, loss = self._train_step(
+                params, opt_state, ema, rng, data, labels, idx
+            )
+            if step % c.eval_frequency == 0 or step == num_steps:
+                self.params, self.opt_state = params, opt_state
+                string, metrics = self.evaluate(val_data, val_labels)
+                metric_hist.append(metrics["main"])
+                loss_hist.append(metrics["loss"])
+                if verbose:
+                    epoch = step * c.batch_size / n
+                    print(
+                        f"step {step} / {num_steps} (epoch {epoch:.2f} / "
+                        f"{c.num_epochs}):"
+                    )
+                    print(
+                        f"  loss_average = {float(jax.device_get(ema)):.2e}"
+                    )
+                    print(f"  validation {string}")
+                    print(f"  time: wall {time.time() - t_wall:.0f}s")
+
+        self.params, self.opt_state = params, opt_state
+        t_step = (time.time() - t_wall) / num_steps
+        return metric_hist, loss_hist, t_step
+
+    def predict(self, data, labels=None):
+        """Batched inference with zero-padded final batch
+        (graph_model.py:64-94).  Returns predictions, and the
+        size-weighted mean loss when labels are given."""
+        c = self.config
+        n = data.shape[0]
+        preds = []
+        total_loss = 0.0
+        for begin in range(0, n, c.batch_size):
+            end = min(begin + c.batch_size, n)
+            batch = np.zeros((c.batch_size,) + data.shape[1:], data.dtype)
+            batch[: end - begin] = data[begin:end]
+            xb = jnp.asarray(batch)
+            if labels is not None:
+                yb = np.zeros((c.batch_size,) + labels.shape[1:], labels.dtype)
+                yb[: end - begin] = labels[begin:end]
+                out, loss = self._eval_batch(self.params, xb, jnp.asarray(yb))
+                total_loss += float(jax.device_get(loss))
+            else:
+                out = self._predict_batch(self.params, xb)
+            preds.append(jax.device_get(out)[: end - begin])
+        predictions = np.concatenate(preds, axis=0)
+        if labels is not None:
+            return predictions, total_loss * c.batch_size / n
+        return predictions
+
+    def evaluate(self, data, labels):
+        """Metrics + report line.  Regression: MSE over all outputs
+        (graph_model.py:116); classification: accuracy and weighted F1."""
+        outputs, loss = self.predict(data, labels)
+        if self.task == "regression":
+            mse = float(np.sum((labels - outputs) ** 2) / outputs.size)
+            string = f"mse: {mse:.5f} ({len(labels):d}), loss: {loss:.2e}"
+            return string, {"main": mse, "mse": mse, "loss": loss,
+                            "predictions": outputs}
+        pred_classes = np.argmax(outputs, axis=1)
+        accuracy = 100.0 * float(np.mean(pred_classes == labels))
+        f1 = 100.0 * _weighted_f1(labels, pred_classes)
+        string = (
+            f"accuracy: {accuracy:.2f} ({len(labels):d}), "
+            f"f1 (weighted): {f1:.2f}, loss: {loss:.2e}"
+        )
+        return string, {"main": accuracy, "accuracy": accuracy, "f1": f1,
+                        "loss": loss, "predictions": pred_classes}
+
+
+class _EpochSampler:
+    """Without-replacement batch sampler: every sample is used once per
+    epoch before any repeats (graph_model.py:144-147, deque-free)."""
+
+    def __init__(self, n: int, seed: int):
+        self.n = n
+        self.rng = np.random.default_rng(seed)
+        self.buffer = np.empty((0,), np.int64)
+
+    def next_batch(self, batch_size: int) -> np.ndarray:
+        while len(self.buffer) < batch_size:
+            self.buffer = np.concatenate(
+                [self.buffer, self.rng.permutation(self.n)]
+            )
+        out, self.buffer = self.buffer[:batch_size], self.buffer[batch_size:]
+        return out.astype(np.int32)
+
+
+def _weighted_f1(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Support-weighted F1 (sklearn 'weighted' average), NumPy-only."""
+    classes, counts = np.unique(y_true, return_counts=True)
+    f1s = []
+    for c in classes:
+        tp = np.sum((y_pred == c) & (y_true == c))
+        fp = np.sum((y_pred == c) & (y_true != c))
+        fn = np.sum((y_pred != c) & (y_true == c))
+        denom = 2 * tp + fp + fn
+        f1s.append(2 * tp / denom if denom else 0.0)
+    return float(np.sum(np.asarray(f1s) * counts) / counts.sum())
