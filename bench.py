@@ -1,0 +1,158 @@
+"""Benchmark: Chebyshev SpMM throughput + MNIST-config epoch time on TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "details": {...}}
+
+Primary metric (BASELINE.json): edge traversals/s/chip through the K=25
+Chebyshev recurrence on the MNIST 28x28 8-NN grid graph (976 padded nodes,
+~7.7k directed edges), feature width 32, batch 100 — measured as a
+device-resident ``lax.fori_loop`` so host dispatch (here: a network tunnel)
+is out of the timed path.  ``vs_baseline`` is the measured rate over a
+1 Gedge/s anchor — a strong single-GPU rate for
+``tf.sparse_tensor_dense_matmul`` on graphs of this class (the reference's
+actual K40 would be slower; the repo publishes no numbers, BASELINE.md).
+
+Also measured: full ChebNet K=25 train-step time in the same config, and
+the implied MNIST epoch time (55k samples / batch 100 = 550 steps).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _best_spmm_rate(ops_by_fmt, x0, w, iters=200):
+    import jax
+    import jax.numpy as jnp
+
+    K = w.shape[0]
+    results = {}
+    for fmt, op in ops_by_fmt.items():
+        from cnn_graph_tpu.ops import cheby_conv
+
+        @jax.jit
+        def chain(x):
+            def body(_, x):
+                y = cheby_conv(x, op, w)
+                # Cheap renorm keeps the carry finite without breaking the
+                # data dependency chain.
+                return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        chain(x0).block_until_ready()  # compile + warm
+        t0 = time.perf_counter()
+        chain(x0).block_until_ready()
+        dt = time.perf_counter() - t0
+        hops = (K - 1) * iters
+        results[fmt] = {
+            "edges_per_s": op.nnz * hops / dt,
+            "ms_per_conv": dt / iters * 1000,
+        }
+    return results
+
+
+def _train_step_time(model, params, x, y, iters=100):
+    import jax
+    import optax
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def run(params, opt_state, rng):
+        def body(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(model.loss)(
+                params, x, y, train=True, rng=k
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
+
+        (params, opt_state, rng), losses = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=iters
+        )
+        return params, opt_state, losses
+
+    rng = jax.random.PRNGKey(0)
+    out = run(params, opt_state, rng)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    out = run(params, opt_state, rng)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    assert bool(np.isfinite(np.asarray(out[2]).mean())), "non-finite loss"
+    return dt / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_graph_tpu.graphs import coarsening, construction as gc
+    from cnn_graph_tpu.models import ChebNet
+    from cnn_graph_tpu.ops import device_laplacian
+
+    dev = jax.devices()[0]
+    print(f"benchmarking on {dev}", file=sys.stderr)
+
+    # MNIST-grid headline config (nips2016/mnist.ipynb cells 14-17).
+    z = gc.grid(28)
+    W = gc.knn_graph(z, k=8)
+    graphs, perm = coarsening.coarsen(W, levels=4, seed=2017, verbose=False)
+    Ls = [gc.laplacian(g, normalized=True) for g in graphs]
+
+    B, F, K = 100, 32, 25
+    ops_by_fmt = {
+        "dense": device_laplacian(Ls[0], fmt="dense"),
+        "bsr": device_laplacian(Ls[0], fmt="bsr"),
+    }
+    m0 = ops_by_fmt["dense"].m
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(B, m0, F)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, F, F)) * 0.05, jnp.float32)
+
+    spmm = _best_spmm_rate(ops_by_fmt, x0, w)
+    best_fmt = max(spmm, key=lambda f: spmm[f]["edges_per_s"])
+    edges_per_s = spmm[best_fmt]["edges_per_s"]
+
+    # Full ChebNet train step in the reference MNIST config.
+    ops = [device_laplacian(L, fmt=best_fmt if L.shape[0] > 256 else "dense")
+           for L in Ls]
+    model = ChebNet(ops, F=[32, 64], K=[25, 25], p=[4, 4], M=[512, 10],
+                    dropout=0.5)
+    params = model.init(jax.random.PRNGKey(0))
+    xb = jnp.asarray(rng.normal(size=(B, m0)), jnp.float32)
+    yb = jnp.asarray(rng.integers(0, 10, B), jnp.int32)
+    step_s = _train_step_time(model, params, xb, yb)
+    epoch_s = step_s * 550  # 55k train samples / batch 100
+
+    result = {
+        "metric": "chebyshev_spmm_edge_throughput",
+        "value": round(edges_per_s / 1e9, 4),
+        "unit": "Gedges/s/chip",
+        "vs_baseline": round(edges_per_s / 1e9, 4),
+        "details": {
+            "config": "MNIST 28x28 8-NN grid, K=25, F=32, B=100, fp32",
+            "graph_nodes": int(m0),
+            "graph_nnz": int(ops_by_fmt["dense"].nnz),
+            "spmm_by_format": {
+                f: {k: round(v, 4) for k, v in r.items()}
+                for f, r in spmm.items()
+            },
+            "best_format": best_fmt,
+            "mnist_train_step_ms": round(step_s * 1000, 3),
+            "mnist_epoch_s": round(epoch_s, 2),
+            "device": str(dev),
+            "baseline_anchor": "1 Gedge/s nominal single-GPU SpMM rate",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

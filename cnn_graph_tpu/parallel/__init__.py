@@ -1,0 +1,16 @@
+"""Multi-chip parallelism: meshes, shardings, node-partitioned operators."""
+
+from cnn_graph_tpu.parallel.mesh import P, data_sharding, make_mesh, replicated
+from cnn_graph_tpu.parallel.node_sharded import (
+    NodeShardedLaplacian,
+    node_sharded_laplacian,
+)
+
+__all__ = [
+    "P",
+    "data_sharding",
+    "make_mesh",
+    "replicated",
+    "NodeShardedLaplacian",
+    "node_sharded_laplacian",
+]

@@ -117,6 +117,25 @@ class Trainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
+        def train_chunk(params, opt_state, ema, rng, data, labels, idx_chunk):
+            """Run idx_chunk.shape[0] steps as ONE device program via
+            lax.scan — the host (and, here, the host<->TPU tunnel) stays
+            out of the per-step path entirely."""
+
+            def body(carry, idx):
+                params, opt_state, ema, rng = carry
+                params, opt_state, ema, rng, loss = train_step(
+                    params, opt_state, ema, rng, data, labels, idx
+                )
+                return (params, opt_state, ema, rng), loss
+
+            (params, opt_state, ema, rng), losses = jax.lax.scan(
+                body, (params, opt_state, ema, rng), idx_chunk
+            )
+            return params, opt_state, ema, rng, losses
+
+        self._train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1, 2, 3))
+
         def predict_batch(params, x):
             out = model.apply(params, x)
             if task == "regression":
@@ -131,6 +150,20 @@ class Trainer:
             return (jax.nn.relu(out) if task == "regression" else out), loss
 
         self._eval_batch = jax.jit(eval_batch)
+
+        def eval_scan(params, data_b, labels_b):
+            """Batched evaluation as one device program: ``data_b`` is
+            [nb, B, ...]; returns stacked predictions + per-batch losses."""
+
+            def body(_, xy):
+                x, y = xy
+                pred, loss = eval_batch(params, x, y)
+                return None, (pred, loss)
+
+            _, (preds, losses) = jax.lax.scan(body, None, (data_b, labels_b))
+            return preds, losses
+
+        self._eval_scan = jax.jit(eval_scan)
 
     # ---- high-level API (fit / predict / evaluate) ----
 
@@ -154,16 +187,27 @@ class Trainer:
         ema = jnp.float32(-1.0)
         sampler = _EpochSampler(n, c.seed)
         metric_hist, loss_hist = [], []
+        val_batched = self._device_batches(val_data, val_labels)
 
         params, opt_state = self.params, self.opt_state
-        for step in range(1, num_steps + 1):
-            idx = jnp.asarray(sampler.next_batch(c.batch_size))
-            params, opt_state, ema, rng, loss = self._train_step(
+        step = 0
+        while step < num_steps:
+            # One device program per eval interval (scan over the steps).
+            chunk = min(c.eval_frequency, num_steps - step)
+            idx = jnp.asarray(
+                np.stack(
+                    [sampler.next_batch(c.batch_size) for _ in range(chunk)]
+                )
+            )
+            params, opt_state, ema, rng, losses = self._train_chunk(
                 params, opt_state, ema, rng, data, labels, idx
             )
+            step += chunk
             if step % c.eval_frequency == 0 or step == num_steps:
                 self.params, self.opt_state = params, opt_state
-                string, metrics = self.evaluate(val_data, val_labels)
+                string, metrics = self._evaluate_device(
+                    params, val_batched, val_labels
+                )
                 metric_hist.append(metrics["main"])
                 loss_hist.append(metrics["loss"])
                 if verbose:
@@ -212,6 +256,11 @@ class Trainer:
         """Metrics + report line.  Regression: MSE over all outputs
         (graph_model.py:116); classification: accuracy and weighted F1."""
         outputs, loss = self.predict(data, labels)
+        return self._metrics(outputs, labels, loss)
+
+    # ---- internals ----
+
+    def _metrics(self, outputs, labels, loss):
         if self.task == "regression":
             mse = float(np.sum((labels - outputs) ** 2) / outputs.size)
             string = f"mse: {mse:.5f} ({len(labels):d}), loss: {loss:.2e}"
@@ -226,6 +275,34 @@ class Trainer:
         )
         return string, {"main": accuracy, "accuracy": accuracy, "f1": f1,
                         "loss": loss, "predictions": pred_classes}
+
+    def _device_batches(self, data, labels):
+        """Pad to a whole number of batches and ship to device once."""
+        B = self.config.batch_size
+        n = data.shape[0]
+        nb = -(-n // B)
+        pad = nb * B - n
+        if pad:
+            data = np.concatenate(
+                [data, np.zeros((pad,) + data.shape[1:], data.dtype)]
+            )
+            labels = np.concatenate(
+                [labels, np.zeros((pad,) + labels.shape[1:], labels.dtype)]
+            )
+        return (
+            jnp.asarray(data.reshape((nb, B) + data.shape[1:])),
+            jnp.asarray(labels.reshape((nb, B) + labels.shape[1:])),
+            n,
+        )
+
+    def _evaluate_device(self, params, batched, labels):
+        """Evaluate on pre-batched device data with one program + one fetch."""
+        data_b, labels_b, n = batched
+        preds, losses = self._eval_scan(params, data_b, labels_b)
+        preds, losses = jax.device_get((preds, losses))
+        outputs = preds.reshape((-1,) + preds.shape[2:])[:n]
+        loss = float(losses.sum()) * self.config.batch_size / n
+        return self._metrics(outputs, labels, loss)
 
 
 class _EpochSampler:
