@@ -81,9 +81,18 @@ def graclus(W: scipy.sparse.spmatrix, levels: int, rid: np.ndarray | None = None
 
     for _ in range(levels):
         csr = W.tocsr()
-        cluster = graclus_pairing(
-            csr.indptr, csr.indices, csr.data, rid, np.asarray(degree).ravel()
+        weights = np.asarray(degree).ravel()
+        # Native C++ matching when available (identical algorithm; the
+        # Python loop is latency-bound on multi-million-edge graphs).
+        from cnn_graph_tpu import native
+
+        cluster = native.graclus_one_level_native(
+            csr.indptr, csr.indices, csr.data, rid, weights
         )
+        if cluster is None:
+            cluster = graclus_pairing(
+                csr.indptr, csr.indices, csr.data, rid, weights
+            )
         parents.append(cluster)
 
         # Coarse graph: sum edge weights over cluster pairs (duplicate

@@ -54,7 +54,12 @@ def cheby_basis(x: jax.Array, L: LaplacianOperator, K: int) -> jax.Array:
     single wide matmul rather than a batched loop.
     """
     B, M, F = x.shape
+    compute_dtype = getattr(L, "compute_dtype", x.dtype)
     xt = _pad_nodes(jnp.transpose(x, (1, 2, 0)).reshape(M, F * B), L.m_padded)
+    # Run the recurrence in the operator's dtype (bf16 operators keep the
+    # whole chain on the MXU's native path; values are bounded by the
+    # [-1, 1] spectral rescale so bf16 is well-conditioned here).
+    xt = xt.astype(compute_dtype)
 
     basis = [xt]
     if K > 1:
@@ -64,7 +69,9 @@ def cheby_basis(x: jax.Array, L: LaplacianOperator, K: int) -> jax.Array:
 
     stacked = jnp.stack(basis)  # [K, Mp, F*B]
     stacked = stacked[:, :M].reshape(K, M, F, B)
-    return jnp.transpose(stacked, (0, 3, 1, 2))  # [K, B, M, F]
+    # Stays in compute_dtype; cheby_conv accumulates the tap matmul in the
+    # input dtype via preferred_element_type.
+    return jnp.transpose(stacked, (0, 3, 1, 2))
 
 
 def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array) -> jax.Array:
@@ -75,15 +82,23 @@ def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array) -> jax.Array:
     Equivalent computation to the reference's ``cheby_conv``
     (lib/filter.py:45-95) / ``chebyshev5`` (lib/graph_conv.py:144-176):
     y = sum_k T_k(L) x W_k, with the K taps folded into one MXU matmul.
+
+    (An XLA-level "streaming" variant that accumulated per-hop taps from a
+    transposed layout was measured at parity for steady-state but with a
+    ~100x compile-time blowup from 25 unrolled batched dots — the fused
+    low-memory path is the Pallas kernel in ops/pallas_cheby.py instead.)
     """
     K, Fin, Fout = w.shape
     B, M, F = x.shape
     assert F == Fin, f"feature mismatch: x has {F}, w expects {Fin}"
 
-    basis = cheby_basis(x, L, K)  # [K, B, M, Fin]
+    basis = cheby_basis(x, L, K)  # [K, B, M, Fin] in L.compute_dtype
     return jnp.einsum(
-        "kbmf,kfo->bmo", basis, w, preferred_element_type=x.dtype
-    )
+        "kbmf,kfo->bmo",
+        basis,
+        w.astype(basis.dtype),
+        preferred_element_type=x.dtype,
+    ).astype(x.dtype)
 
 
 def cheby_weights_from_flat(w_flat: jax.Array, K: int, Fin: int) -> jax.Array:

@@ -53,6 +53,10 @@ class NodeShardedLaplacian:
     m_padded: int
     nnz: int
 
+    @property
+    def compute_dtype(self):
+        return self.mat.dtype
+
     def matmul(self, x: jax.Array) -> jax.Array:
         def local_matmul(L_rows, x_local):
             x_full = jax.lax.all_gather(

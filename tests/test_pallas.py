@@ -1,0 +1,64 @@
+"""Pallas BSR SpMM kernel tests (interpreter mode on CPU; the compiled
+path is exercised on real TPU by bench.py and the verify drives)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+
+from cnn_graph_tpu.graphs import construction as gc
+from cnn_graph_tpu.ops import device_laplacian
+from cnn_graph_tpu.ops.pallas_spmm import bsr_spmm
+
+
+@pytest.fixture(scope="module")
+def big_graph():
+    # ~600 nodes so multiple 128-blocks exist, with RCM ordering for
+    # block locality.
+    rng = np.random.default_rng(0)
+    z = rng.uniform(size=(600, 2)).astype(np.float32)
+    W = gc.knn_graph(z, k=6)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm]
+    return gc.laplacian(W.tocsr(), normalized=True)
+
+
+class TestBsrSpmmInterpret:
+    def test_matches_scipy(self, big_graph):
+        L = big_graph
+        op = device_laplacian(L, fmt="bsr", block_size=128)
+        Lr = gc.rescale_laplacian(L, 2.0)
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(op.m_padded, 256)).astype(np.float32)
+        X[op.m :] = 0
+
+        got = np.asarray(bsr_spmm(op, jnp.asarray(X), interpret=True))
+        want = Lr @ X[: op.m]
+        np.testing.assert_allclose(got[: op.m], want, atol=1e-4)
+        np.testing.assert_allclose(got[op.m :], 0.0, atol=1e-5)
+
+    def test_column_padding(self, big_graph):
+        # C not a multiple of the tile: output still matches, shape kept.
+        op = device_laplacian(big_graph, fmt="bsr", block_size=128)
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(op.m_padded, 200)).astype(np.float32)
+        got = np.asarray(bsr_spmm(op, jnp.asarray(X), interpret=True))
+        assert got.shape == (op.m_padded, 200)
+        Lr = gc.rescale_laplacian(big_graph, 2.0)
+        np.testing.assert_allclose(got[: op.m], Lr @ X[: op.m], atol=1e-4)
+
+    def test_agrees_with_xla_bsr_path(self, big_graph):
+        op = device_laplacian(big_graph, fmt="bsr", block_size=128)
+        rng = np.random.default_rng(3)
+        X = jnp.asarray(rng.normal(size=(op.m_padded, 128)).astype(np.float32))
+        xla = np.asarray(op.matmul(X))  # use_pallas=False path
+        pallas = np.asarray(bsr_spmm(op, X, interpret=True))
+        np.testing.assert_allclose(pallas, xla, atol=1e-4)
+
+    def test_rowptr_consistency(self, big_graph):
+        op = device_laplacian(big_graph, fmt="bsr", block_size=128)
+        rowptr = np.asarray(op.block_rowptr)
+        brows = np.asarray(op.block_rows)
+        assert rowptr[0] == 0 and rowptr[-1] == len(brows)
+        for i in range(len(rowptr) - 1):
+            assert np.all(brows[rowptr[i] : rowptr[i + 1]] == i)
