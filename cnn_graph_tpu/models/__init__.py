@@ -7,6 +7,7 @@ from cnn_graph_tpu.models.gconv_lstm import (
     glstm_stack_apply,
     glstm_stack_init,
 )
+from cnn_graph_tpu.models.gconv_rnn import GConvRNN
 from cnn_graph_tpu.models.resgnn import ResGNN
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "FORECAST_VARIANTS",
     "GConvForecaster",
     "GConvLSTMCell",
+    "GConvRNN",
     "glstm_stack_apply",
     "glstm_stack_init",
     "ResGNN",

@@ -1,5 +1,9 @@
 """Multi-chip parallelism: meshes, shardings, node-partitioned operators."""
 
+from cnn_graph_tpu.parallel.halo import (
+    HaloShardedLaplacian,
+    halo_sharded_laplacian,
+)
 from cnn_graph_tpu.parallel.mesh import P, data_sharding, make_mesh, replicated
 from cnn_graph_tpu.parallel.node_sharded import (
     NodeShardedLaplacian,
@@ -11,6 +15,8 @@ __all__ = [
     "data_sharding",
     "make_mesh",
     "replicated",
+    "HaloShardedLaplacian",
+    "halo_sharded_laplacian",
     "NodeShardedLaplacian",
     "node_sharded_laplacian",
 ]

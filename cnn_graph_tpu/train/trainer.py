@@ -47,6 +47,10 @@ class TrainConfig:
     grad_clip: float | None = None  # global-norm clip (gconvRNN.py:399)
     seed: int = 2017
     loss_ema_decay: float = 0.9  # graph_model.py:266
+    check_numerics: bool = False  # skip non-finite updates (gconvRNN.py:400)
+    checkpoint_dir: str | None = None  # enables periodic save + resume
+    checkpoint_keep: int = 5
+    log_path: str | None = None  # JSONL metrics stream
 
 
 class Trainer:
@@ -59,7 +63,7 @@ class Trainer:
     """
 
     def __init__(self, model, config: TrainConfig, task: str = "regression"):
-        assert task in ("regression", "classification")
+        assert task in ("regression", "classification", "sequence")
         self.model = model
         self.config = config
         self.task = task
@@ -97,6 +101,11 @@ class Trainer:
             raise ValueError(f"unknown optimizer {c.optimizer!r}")
         if c.grad_clip:
             opt = optax.chain(optax.clip_by_global_norm(c.grad_clip), opt)
+        if c.check_numerics:
+            # The reference raises via tf.check_numerics on any non-finite
+            # gradient (gconvRNN.py:400-402); skipping the bad update and
+            # counting is the recoverable equivalent.
+            opt = optax.apply_if_finite(opt, max_consecutive_errors=100)
         self.optimizer = opt
 
         model, task = self.model, self.task
@@ -189,8 +198,27 @@ class Trainer:
         metric_hist, loss_hist = [], []
         val_batched = self._device_batches(val_data, val_labels)
 
-        params, opt_state = self.params, self.opt_state
+        # Optional checkpoint/resume and metrics stream.
+        mngr = None
+        logger = None
         step = 0
+        if c.checkpoint_dir:
+            from cnn_graph_tpu.train.checkpoint import CheckpointManager
+
+            mngr = CheckpointManager(c.checkpoint_dir,
+                                     max_to_keep=c.checkpoint_keep)
+            if mngr.latest_step() is not None:
+                self.params, self.opt_state, step = mngr.restore(
+                    self.params, self.opt_state
+                )
+                if verbose:
+                    print(f"resumed from checkpoint at step {step}")
+        if c.log_path:
+            from cnn_graph_tpu.utils.logging import MetricsLogger
+
+            logger = MetricsLogger(c.log_path)
+
+        params, opt_state = self.params, self.opt_state
         while step < num_steps:
             # One device program per eval interval (scan over the steps).
             chunk = min(c.eval_frequency, num_steps - step)
@@ -210,6 +238,15 @@ class Trainer:
                 )
                 metric_hist.append(metrics["main"])
                 loss_hist.append(metrics["loss"])
+                if logger:
+                    logger.log(
+                        step,
+                        loss_ema=float(jax.device_get(ema)),
+                        val_metric=metrics["main"],
+                        val_loss=metrics["loss"],
+                    )
+                if mngr:
+                    mngr.save(step, params, opt_state)
                 if verbose:
                     epoch = step * c.batch_size / n
                     print(
@@ -223,6 +260,11 @@ class Trainer:
                     print(f"  time: wall {time.time() - t_wall:.0f}s")
 
         self.params, self.opt_state = params, opt_state
+        if mngr:
+            mngr.wait()
+            mngr.close()
+        if logger:
+            logger.close()
         t_step = (time.time() - t_wall) / num_steps
         return metric_hist, loss_hist, t_step
 
@@ -266,6 +308,16 @@ class Trainer:
             string = f"mse: {mse:.5f} ({len(labels):d}), loss: {loss:.2e}"
             return string, {"main": mse, "mse": mse, "loss": loss,
                             "predictions": outputs}
+        if self.task == "sequence":
+            # Per-(batch, step, node) classification (GConvRNN head).
+            pred = np.argmax(outputs, axis=-1)
+            accuracy = 100.0 * float(np.mean(pred == labels))
+            string = (
+                f"seq accuracy: {accuracy:.2f} ({len(labels):d}), "
+                f"loss: {loss:.2e}"
+            )
+            return string, {"main": accuracy, "accuracy": accuracy,
+                            "loss": loss, "predictions": pred}
         pred_classes = np.argmax(outputs, axis=1)
         accuracy = 100.0 * float(np.mean(pred_classes == labels))
         f1 = 100.0 * _weighted_f1(labels, pred_classes)

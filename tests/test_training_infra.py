@@ -1,0 +1,128 @@
+"""Training-infrastructure tests: GConvRNN sequence model, checkpoint
+resume, metrics logging, numerics guarding."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnn_graph_tpu.graphs import construction as gc
+from cnn_graph_tpu.models import GConvRNN
+from cnn_graph_tpu.ops import device_laplacian
+from cnn_graph_tpu.train import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    z = rng.uniform(size=(24, 2)).astype(np.float32)
+    W = gc.knn_graph(z, k=4)
+    L = gc.laplacian(W, normalized=True)
+    return device_laplacian(L, fmt="dense")
+
+
+@pytest.fixture(scope="module")
+def seq_data(setup):
+    """Per-step node labels determined by the node's input sign — learnable
+    by a gLSTM with a per-step head."""
+    op = setup
+    rng = np.random.default_rng(1)
+    B, M, Fin, T = 32, 24, 2, 5
+    x = rng.normal(size=(B, M, Fin, T)).astype(np.float32)
+    y = (x.sum(axis=2) > 0).astype(np.int64)  # [B, M, T]
+    y = np.transpose(y, (0, 2, 1))  # [B, T, M]
+    return x, y
+
+
+class TestGConvRNN:
+    def test_shapes(self, setup, seq_data):
+        op = setup
+        x, y = seq_data
+        model = GConvRNN(op, num_units=8, feat_in=2, num_classes=2, K=3,
+                         num_layers=2)
+        params = model.init(jax.random.PRNGKey(0))
+        logits = model.apply(params, jnp.asarray(x[:4]))
+        assert logits.shape == (4, 5, 24, 2)
+
+    def test_learns_sign_task(self, setup, seq_data):
+        op = setup
+        x, y = seq_data
+        model = GConvRNN(op, num_units=8, feat_in=2, num_classes=2, K=3)
+        cfg = TrainConfig(num_epochs=40, learning_rate=5e-3, batch_size=16,
+                          eval_frequency=40, decay_steps=100, seed=0)
+        tr = Trainer(model, cfg, task="sequence")
+        tr.fit(x, y, x[:8], y[:8], verbose=False)
+        _, m = tr.evaluate(x[:8], y[:8])
+        assert m["accuracy"] > 80.0
+
+    def test_grad_clip_and_numerics_guard(self, setup, seq_data):
+        op = setup
+        x, y = seq_data
+        model = GConvRNN(op, num_units=4, feat_in=2, num_classes=2)
+        cfg = TrainConfig(num_epochs=2, learning_rate=1e-3, batch_size=16,
+                          eval_frequency=10, decay_steps=10,
+                          grad_clip=1.0, check_numerics=True)
+        tr = Trainer(model, cfg, task="sequence")
+        hist, _, _ = tr.fit(x, y, x[:8], y[:8], verbose=False)
+        assert len(hist) >= 1
+        assert np.isfinite(hist[-1])
+
+
+class TestCheckpointResume:
+    def test_fit_resumes_from_checkpoint(self, setup, seq_data, tmp_path):
+        op = setup
+        x, y = seq_data
+        ckdir = str(tmp_path / "ck")
+
+        def make_trainer():
+            model = GConvRNN(op, num_units=4, feat_in=2, num_classes=2)
+            cfg = TrainConfig(num_epochs=10, learning_rate=1e-3,
+                              batch_size=16, eval_frequency=10,
+                              decay_steps=50, checkpoint_dir=ckdir)
+            return Trainer(model, cfg, task="sequence")
+
+        t1 = make_trainer()
+        t1.fit(x, y, x[:8], y[:8], verbose=False)
+        steps_total = int(10 * x.shape[0] / 16)
+        from cnn_graph_tpu.train.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(ckdir)
+        assert mngr.latest_step() == steps_total
+        mngr.close()
+
+        # A fresh trainer resumes from the saved step (prints + restores).
+        t2 = make_trainer()
+        rng = jax.random.PRNGKey(0)
+        t2.params = t2.model.init(rng)
+        t2.opt_state = t2.optimizer.init(t2.params)
+        hist, _, _ = t2.fit(x, y, x[:8], y[:8], verbose=False)
+        # Resumed at the final step -> at most one eval entry.
+        assert len(hist) <= 1
+        # Restored params equal the first trainer's final params.
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            t2.params, t1.params,
+        )
+
+
+class TestMetricsLogger:
+    def test_jsonl_stream(self, setup, seq_data, tmp_path):
+        op = setup
+        x, y = seq_data
+        log_path = str(tmp_path / "metrics.jsonl")
+        model = GConvRNN(op, num_units=4, feat_in=2, num_classes=2)
+        cfg = TrainConfig(num_epochs=5, learning_rate=1e-3, batch_size=16,
+                          eval_frequency=5, decay_steps=50,
+                          log_path=log_path)
+        tr = Trainer(model, cfg, task="sequence")
+        tr.fit(x, y, x[:8], y[:8], verbose=False)
+
+        lines = [json.loads(l) for l in open(log_path)]
+        assert lines[0]["event"] == "start"
+        assert lines[-1]["event"] == "end"
+        steps = [l for l in lines if "val_metric" in l]
+        assert len(steps) >= 2
+        assert all("loss_ema" in l and "step" in l for l in steps)
