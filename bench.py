@@ -89,6 +89,53 @@ def _train_step_time(model, params, x, y, iters=100):
     return dt / iters
 
 
+def _big_graph_spmm(iters=100):
+    """Secondary config: 5k-node kNN graph (20NEWS scale), RCM-ordered,
+    Pallas block-sparse kernel vs XLA BSR."""
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_graph_tpu.graphs import construction as gc
+    from cnn_graph_tpu.ops import device_laplacian
+    from cnn_graph_tpu.ops.pallas_spmm import bsr_spmm
+
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(5000, 16)).astype(np.float32)
+    dist, idx = gc.knn(z, k=8, algorithm="auto")
+    W = gc.adjacency(dist, idx)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm].tocsr()
+    L = gc.laplacian(W, normalized=True)
+    op = device_laplacian(L, fmt="bsr", use_pallas=False)
+    X = jnp.asarray(rng.normal(size=(op.m_padded, 512)).astype(np.float32))
+
+    out = {}
+    for name, f in [("pallas", lambda x: bsr_spmm(op, x)),
+                    ("xla_bsr", op.matmul)]:
+        @jax.jit
+        def chain(x, f=f):
+            def body(_, x):
+                y = f(x)
+                return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        chain(X).block_until_ready()
+        t0 = time.perf_counter()
+        chain(X).block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        out[name] = {
+            "us_per_spmm": round(dt * 1e6, 1),
+            "edges_per_s": round(op.nnz / dt / 1e9, 4),
+        }
+    out["nodes"] = int(op.m)
+    out["nnz"] = int(op.nnz)
+    out["block_density"] = round(
+        op.blocks.shape[0] / (op.m_padded // 128) ** 2, 3
+    )
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -131,6 +178,8 @@ def main():
     step_s = _train_step_time(model, params, xb, yb)
     epoch_s = step_s * 550  # 55k train samples / batch 100
 
+    big = _big_graph_spmm()
+
     result = {
         "metric": "chebyshev_spmm_edge_throughput",
         "value": round(edges_per_s / 1e9, 4),
@@ -147,6 +196,7 @@ def main():
             "best_format": best_fmt,
             "mnist_train_step_ms": round(step_s * 1000, 3),
             "mnist_epoch_s": round(epoch_s, 2),
+            "big_graph_5k_spmm": big,
             "device": str(dev),
             "baseline_anchor": "1 Gedge/s nominal single-GPU SpMM rate",
         },

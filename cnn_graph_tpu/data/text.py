@@ -80,6 +80,20 @@ class TextDataset:
                 print(f"  {np.sum(self.labels == i):5d} documents in class "
                       f"{i:2d} ({name})")
 
+    def show_document(self, i: int):
+        """Print one document's label, word count, and nonzero counts
+        (lib/utils.py:60-77)."""
+        label = self.labels[i]
+        name = self.class_names[label]
+        text = self.documents[i] if hasattr(self, "documents") else None
+        wc = len(text.split()) if text is not None else "N/A"
+        print(f"document {i}: label {label} --> {name}, {wc} words")
+        if hasattr(self, "data"):
+            row = self.data[i]
+            for j in row.nonzero()[1]:
+                print(f"  {row[0, j]:.2f} \"{self.vocab[j]}\" ({j})")
+        return text
+
     def keep_documents(self, idx):
         self.documents = [self.documents[i] for i in idx]
         self.labels = self.labels[idx]

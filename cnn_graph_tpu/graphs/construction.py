@@ -45,20 +45,33 @@ def grid(m: int, dtype=np.float32) -> np.ndarray:
     return np.stack([cols.ravel(), rows.ravel()], axis=1).astype(dtype)
 
 
-def knn(z: np.ndarray, k: int = 4, metric: str = "euclidean"):
-    """Exact k-nearest-neighbour distances.
+def knn(z: np.ndarray, k: int = 4, metric: str = "euclidean",
+        algorithm: str = "dense"):
+    """k-nearest-neighbour distances.
 
     Parity with ``graph.distance_scipy_spatial``/``distance_sklearn_metrics``
-    (lib/graph.py:22-41).  Returns ``(dist, idx)`` each of shape ``(M, k)``:
-    the distances to and indices of each point's k nearest neighbours,
-    excluding the point itself.
+    (lib/graph.py:22-41) plus a scalable path replacing the reference's
+    approximate ``distance_lshforest`` (graph.py:44-52 — LSHForest was
+    removed from sklearn): ``algorithm='dense'`` materializes the full
+    distance matrix (exact, O(M^2) memory); ``'auto'``/``'ball_tree'``/
+    ``'kd_tree'`` use sklearn NearestNeighbors and scale to millions of
+    points.  Returns ``(dist, idx)`` of shape ``(M, k)`` excluding self.
     """
-    d = scipy.spatial.distance.squareform(
-        scipy.spatial.distance.pdist(z, metric=metric)
-    )
-    order = np.argsort(d, axis=1)[:, 1 : k + 1]
-    dist = np.take_along_axis(d, order, axis=1)
-    return dist, order
+    if algorithm == "dense":
+        d = scipy.spatial.distance.squareform(
+            scipy.spatial.distance.pdist(z, metric=metric)
+        )
+        order = np.argsort(d, axis=1)[:, 1 : k + 1]
+        dist = np.take_along_axis(d, order, axis=1)
+        return dist, order
+
+    import sklearn.neighbors
+
+    nn = sklearn.neighbors.NearestNeighbors(
+        n_neighbors=k + 1, metric=metric, algorithm=algorithm
+    ).fit(z)
+    dist, idx = nn.kneighbors(z)
+    return dist[:, 1:], idx[:, 1:]
 
 
 def adjacency(dist: np.ndarray, idx: np.ndarray) -> scipy.sparse.csr_matrix:

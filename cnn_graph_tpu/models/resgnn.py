@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from cnn_graph_tpu.models import common
-from cnn_graph_tpu.ops import cheby_conv
+from cnn_graph_tpu.ops import cheby_conv, fourier_conv
 
 __all__ = ["ResGNN"]
 
@@ -38,10 +38,16 @@ class ResGNN:
         activation: str = "relu",
         residual: bool = True,
         stack_splits: list[tuple[int, int]] | None = None,
+        filter: str = "chebyshev",
+        fourier_u=None,
     ):
         """``operator``: device Laplacian; ``stack_splits``: optional list of
         ``(start, end)`` channel ranges, one tower per range (None = single
-        tower over all channels, the ``stack_num == 1`` path)."""
+        tower over all channels, the ``stack_num == 1`` path).  ``filter``:
+        ``chebyshev`` or ``fourier`` (the fork's flow experiments run the
+        residual net with the Fourier filter too,
+        nips2016/humanflow-ln-period-shortlong.py ``params['filter']``);
+        the Fourier path needs ``fourier_u`` (the [M, M] eigenbasis)."""
         self.op = operator
         self.input_features = input_features
         self.K = K
@@ -51,28 +57,42 @@ class ResGNN:
         self.act = _ACTS[activation]
         self.residual = residual  # model_name == 'ResGNN' flag, graph_conv.py:235
         self.stack_splits = stack_splits
+        self.filter = filter
+        self.fourier_u = fourier_u
+        if filter == "fourier":
+            assert fourier_u is not None, "fourier filter needs fourier_u"
         if stack_splits:
             assert all(e > s for s, e in stack_splits)
+
+    def _conv_init(self, key, fin, fout):
+        if self.filter == "chebyshev":
+            return common.trunc_normal(key, (self.K, fin, fout))
+        return common.trunc_normal(key, (self.op.m, fout, fin))
+
+    def _conv(self, w, x):
+        if self.filter == "chebyshev":
+            return cheby_conv(x, self.op, w)
+        return fourier_conv(x, self.fourier_u, w)
 
     # ---- parameters ----
 
     def _tower_init(self, key, fin: int):
         keys = jax.random.split(key, 2 + 2 * self.nres)
         tower = {
-            "conv_init": common.trunc_normal(keys[0], (self.K, fin, self.nfilter)),
+            "conv_init": self._conv_init(keys[0], fin, self.nfilter),
             "res": [
                 {
-                    "w1": common.trunc_normal(
-                        keys[1 + 2 * i], (self.K, self.nfilter, self.nfilter)
+                    "w1": self._conv_init(
+                        keys[1 + 2 * i], self.nfilter, self.nfilter
                     ),
-                    "w2": common.trunc_normal(
-                        keys[2 + 2 * i], (self.K, self.nfilter, self.nfilter)
+                    "w2": self._conv_init(
+                        keys[2 + 2 * i], self.nfilter, self.nfilter
                     ),
                 }
                 for i in range(self.nres)
             ],
-            "conv_out": common.trunc_normal(
-                keys[-1], (self.K, self.nfilter, self.out_features)
+            "conv_out": self._conv_init(
+                keys[-1], self.nfilter, self.out_features
             ),
         }
         return tower
@@ -95,15 +115,15 @@ class ResGNN:
     def _residual_network(self, tower, x):
         """conv_init -> n x residual block -> conv_out
         (graph_conv.py:305-330)."""
-        x = self.act(cheby_conv(x, self.op, tower["conv_init"]))
+        x = self.act(self._conv(tower["conv_init"], x))
         for blk in tower["res"]:
             identity = x
-            x = self.act(cheby_conv(x, self.op, blk["w1"]))
-            x = cheby_conv(x, self.op, blk["w2"])
+            x = self.act(self._conv(blk["w1"], x))
+            x = self._conv(blk["w2"], x)
             if self.residual:
                 x = x + identity  # merge before activation, graph_conv.py:247-250
             x = self.act(x)
-        return cheby_conv(x, self.op, tower["conv_out"])
+        return self._conv(tower["conv_out"], x)
 
     def apply(self, params, x: jax.Array, *, train: bool = False, rng=None):
         """``x``: [B, M, C] -> [B, M, out_features] (raw outputs; the ReLU

@@ -83,27 +83,36 @@ class DenseLaplacian:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_rows", "block_cols", "block_rowptr"],
-    meta_fields=["m", "m_padded", "nnz", "block_size", "use_pallas"],
+    meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockSparseLaplacian:
     """Rescaled Laplacian as dense MXU-tile blocks at nonzero positions.
 
-    ``blocks[i]`` is the dense ``bs x bs`` tile at block coordinates
+    ``blocks[i]`` is the dense ``br x bc`` tile at block coordinates
     ``(block_rows[i], block_cols[i])``; blocks are sorted by row so the
     row-wise reduction is a segment-sum over a sorted index.
     ``block_rowptr`` is the block-CSR row extent used by the Pallas kernel.
+
+    Block shape trades fill-in against tile alignment: (128, 128) tiles are
+    MXU-square but nearly empty for kNN-sparse rows; short-wide (8, 128)
+    tiles keep the 128-lane contraction while cutting padded FLOPs ~8x
+    (each tile still maps to one MXU pass with 8 output sublanes).
     """
 
-    blocks: jax.Array  # [nb, bs, bs]
+    blocks: jax.Array  # [nb, br, bc]
     block_rows: jax.Array  # [nb] int32, sorted ascending
     block_cols: jax.Array  # [nb] int32
     block_rowptr: jax.Array  # [n_row_blocks + 1] int32
     m: int
     m_padded: int
     nnz: int
-    block_size: int
+    block_shape: tuple
     use_pallas: bool
+
+    @property
+    def block_size(self):  # square-block compatibility accessor
+        return self.block_shape[0]
 
     @property
     def compute_dtype(self):
@@ -115,10 +124,10 @@ class BlockSparseLaplacian:
             from cnn_graph_tpu.ops.pallas_spmm import bsr_spmm
 
             return bsr_spmm(self, x)
-        bs = self.block_size
-        n_row_blocks = self.m_padded // bs
-        xb = x.reshape(n_row_blocks, bs, -1)
-        gathered = jnp.take(xb, self.block_cols, axis=0)  # [nb, bs, C]
+        br, bc = self.block_shape
+        n_row_blocks = self.m_padded // br
+        xb = x.reshape(self.m_padded // bc, bc, -1)
+        gathered = jnp.take(xb, self.block_cols, axis=0)  # [nb, bc, C]
         partial = jnp.einsum(
             "nij,njc->nic", self.blocks, gathered,
             preferred_element_type=x.dtype,
@@ -155,46 +164,79 @@ class BCOOLaplacian:
 LaplacianOperator = DenseLaplacian | BlockSparseLaplacian | BCOOLaplacian
 
 
-def pack_block_sparse(L: scipy.sparse.spmatrix, block_size: int = MXU_TILE):
-    """Tile a sparse matrix into dense blocks, keeping nonzero tiles only.
-
-    Returns ``(blocks, block_rows, block_cols, m_padded)`` as NumPy arrays,
-    blocks sorted by (row, col).
-    """
-    m = L.shape[0]
-    mp = _round_up(m, block_size)
-    nb_side = mp // block_size
+def choose_block_shape(
+    L: scipy.sparse.spmatrix,
+    candidates=((8, 128), (16, 128), (32, 128), (64, 128), (128, 128)),
+    dma_overhead: int = 11000,
+) -> tuple:
+    """Pick the block shape minimizing a padded-FLOPs + per-block-DMA cost
+    model.  ``dma_overhead`` is the fixed per-block cost expressed in
+    padded-entry units; 11000 is fitted from v5e measurements (~230ns fixed
+    per block at C=512, for both (8,128) and (128,128) tiles).  With that
+    overhead, square 128 tiles win for every graph tested (short-wide tiles
+    only pay off for extremely banded matrices where a 128-row group spans
+    many more column blocks than an 8-row group — rare after RCM at these
+    sizes), but the model keeps the choice principled as scales grow."""
     coo = L.tocoo()
-    br = coo.row // block_size
-    bc = coo.col // block_size
-    block_ids = br * nb_side + bc
+    best, best_cost = None, None
+    for br, bc in candidates:
+        mp = _round_up(L.shape[0], int(np.lcm(br, bc)))
+        n_cb = mp // bc
+        nb = len(np.unique((coo.row // br).astype(np.int64) * n_cb
+                           + coo.col // bc))
+        cost = nb * (br * bc + dma_overhead)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (br, bc), cost
+    return best
+
+
+def pack_block_sparse(L: scipy.sparse.spmatrix,
+                      block_shape: tuple = (MXU_TILE, MXU_TILE)):
+    """Tile a sparse matrix into dense ``br x bc`` blocks, keeping nonzero
+    tiles only.
+
+    Returns ``(blocks, block_rows, block_cols, block_rowptr, m_padded)`` as
+    NumPy arrays, blocks sorted by (row, col).
+    """
+    br_sz, bc_sz = block_shape
+    m = L.shape[0]
+    mp = _round_up(m, int(np.lcm(br_sz, bc_sz)))
+    n_rb = mp // br_sz
+    n_cb = mp // bc_sz
+    coo = L.tocoo()
+    br = coo.row // br_sz
+    bc = coo.col // bc_sz
+    block_ids = br.astype(np.int64) * n_cb + bc
     unique_ids = np.unique(block_ids)
 
-    blocks = np.zeros((len(unique_ids), block_size, block_size), dtype=np.float32)
+    blocks = np.zeros((len(unique_ids), br_sz, bc_sz), dtype=np.float32)
     slot = np.searchsorted(unique_ids, block_ids)
-    blocks[slot, coo.row % block_size, coo.col % block_size] = coo.data
+    blocks[slot, coo.row % br_sz, coo.col % bc_sz] = coo.data
 
-    brows = (unique_ids // nb_side).astype(np.int32)
-    rowptr = np.searchsorted(brows, np.arange(nb_side + 1)).astype(np.int32)
-    return blocks, brows, (unique_ids % nb_side).astype(np.int32), rowptr, mp
+    brows = (unique_ids // n_cb).astype(np.int32)
+    rowptr = np.searchsorted(brows, np.arange(n_rb + 1)).astype(np.int32)
+    return blocks, brows, (unique_ids % n_cb).astype(np.int32), rowptr, mp
 
 
 def device_laplacian(
     L: scipy.sparse.spmatrix,
     lmax: float = 2.0,
     fmt: str = "auto",
-    block_size: int = MXU_TILE,
+    block_size: int | tuple | str = "auto",
     dtype=jnp.float32,
     rescale: bool = True,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     dense_threshold: int = 2048,
 ) -> LaplacianOperator:
     """Build a device operator for the (rescaled) Laplacian.
 
     ``fmt`` is ``dense`` / ``bsr`` / ``bcoo`` / ``auto`` (dense for small
-    graphs, block-sparse beyond ``dense_threshold`` nodes).  ``rescale``
-    applies the spectral map ``2 L / lmax - I`` (the reference rescales
-    inside every filter call, graph_conv.py:148-149; we do it once here).
+    graphs, block-sparse beyond ``dense_threshold`` nodes).  ``block_size``
+    is an int (square tiles), ``(rows, cols)``, or ``"auto"`` (cost-model
+    choice via ``choose_block_shape`` — short-wide tiles for banded graphs,
+    square for scattered ones).  ``rescale`` applies the spectral map
+    ``2 L / lmax - I`` (the reference rescales inside every filter call,
+    graph_conv.py:148-149; we do it once here).
     """
     if rescale:
         L = rescale_laplacian(L, lmax=lmax)
@@ -215,7 +257,17 @@ def device_laplacian(
         )
 
     if fmt == "bsr":
-        blocks, brows, bcols, rowptr, mp = pack_block_sparse(L, block_size)
+        if use_pallas is None:
+            # The Pallas kernel needs real TPU hardware; the XLA
+            # gather/segment-sum path covers CPU tests.
+            use_pallas = jax.default_backend() not in ("cpu",)
+        if block_size == "auto":
+            block_shape = choose_block_shape(L)
+        elif isinstance(block_size, int):
+            block_shape = (block_size, block_size)
+        else:
+            block_shape = tuple(block_size)
+        blocks, brows, bcols, rowptr, mp = pack_block_sparse(L, block_shape)
         return BlockSparseLaplacian(
             blocks=jnp.asarray(blocks, dtype=dtype),
             block_rows=jnp.asarray(brows),
@@ -224,7 +276,7 @@ def device_laplacian(
             m=m,
             m_padded=mp,
             nnz=nnz,
-            block_size=block_size,
+            block_shape=block_shape,
             use_pallas=use_pallas,
         )
 

@@ -29,7 +29,7 @@ __all__ = ["bsr_spmm"]
 
 
 def _kernel(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
-            acc_ref, bbuf_ref, xbuf_ref, bsem, xsem, *, bs, tc):
+            acc_ref, bbuf_ref, xbuf_ref, bsem, xsem, *, br, bc, tc):
     i = pl.program_id(0)
     j = pl.program_id(1)
     lo = row_ptr_ref[i]
@@ -43,7 +43,7 @@ def _kernel(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
             pltpu.make_async_copy(blocks_ref.at[b], bbuf_ref.at[slot],
                                   bsem.at[slot]),
             pltpu.make_async_copy(
-                x_ref.at[pl.ds(col * bs, bs), pl.ds(j * tc, tc)],
+                x_ref.at[pl.ds(col * bc, bc), pl.ds(j * tc, tc)],
                 xbuf_ref.at[slot],
                 xsem.at[slot],
             ),
@@ -83,9 +83,9 @@ def bsr_spmm(L, x: jax.Array, col_tile: int = 512,
 
     ``x``: [Mp, C]; C is padded to a multiple of the column tile.
     """
-    bs = L.block_size
+    br, bc = L.block_shape
     mp = L.m_padded
-    nbr = mp // bs
+    nbr = mp // br
     C = x.shape[1]
     tc = min(col_tile, max(128, -(-C // 128) * 128))
     cp = -(-C // tc) * tc
@@ -100,24 +100,24 @@ def bsr_spmm(L, x: jax.Array, col_tile: int = 512,
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (bs, tc), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+            (br, tc), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((bs, tc), jnp.float32),      # accumulator
-            pltpu.VMEM((2, bs, bs), L.blocks.dtype),  # block double-buffer
-            pltpu.VMEM((2, bs, tc), x.dtype),         # x-tile double-buffer
+            pltpu.VMEM((br, tc), jnp.float32),      # accumulator
+            pltpu.VMEM((2, br, bc), L.blocks.dtype),  # block double-buffer
+            pltpu.VMEM((2, bc, tc), x.dtype),         # x-tile double-buffer
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     y = pl.pallas_call(
-        functools.partial(_kernel, bs=bs, tc=tc),
+        functools.partial(_kernel, br=br, bc=bc, tc=tc),
         out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * L.blocks.shape[0] * bs * bs * tc * (cp // tc),
+            flops=2 * L.blocks.shape[0] * br * bc * tc * (cp // tc),
             bytes_accessed=(
                 L.blocks.size * L.blocks.dtype.itemsize
                 + 2 * mp * cp * x.dtype.itemsize

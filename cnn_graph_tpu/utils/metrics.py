@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["rmse", "mape", "accuracy", "weighted_f1"]
+__all__ = ["rmse", "mape", "accuracy", "weighted_f1", "count_params"]
 
 
 def rmse(targets: np.ndarray, predictions: np.ndarray) -> float:
@@ -42,3 +42,11 @@ def weighted_f1(labels: np.ndarray, predictions: np.ndarray) -> float:
         denom = 2 * tp + fp + fn
         f1s.append(2 * tp / denom if denom else 0.0)
     return 100.0 * float(np.sum(np.asarray(f1s) * counts) / counts.sum())
+
+
+def count_params(params) -> int:
+    """Total parameter count of a pytree (the working replacement for the
+    fork's missing ``utils.show_all_variables``, gconvRNN.py import)."""
+    import jax
+
+    return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))

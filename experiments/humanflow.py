@@ -63,6 +63,10 @@ def main():
                    choices=["ln_period", "street", "unisolate", "threshold"])
     p.add_argument("--model", default="resgnn", choices=["resgnn", "glstm"])
     p.add_argument("--variant", default="glstm_gconv")
+    p.add_argument("--filter", default="chebyshev",
+                   choices=["chebyshev", "fourier"],
+                   help="spectral filter for resgnn (the fork's shortlong "
+                        "experiments run ResGNN with fourier)")
     p.add_argument("--seq", type=int, default=4)
     p.add_argument("--seq-period", dest="seq_period", type=int, default=1)
     p.add_argument("--seq-trend", dest="seq_trend", type=int, default=1)
@@ -94,8 +98,15 @@ def main():
 
     C = tr.shape[2]
     if args.model == "resgnn":
+        fourier_u = None
+        if args.filter == "fourier":
+            import jax.numpy as jnp
+
+            _, U = gc.fourier(L)
+            fourier_u = jnp.asarray(U, jnp.float32)
         model = ResGNN(op, input_features=C, K=args.K,
-                       nfilter=args.nfilter, nres_layer_count=args.nres)
+                       nfilter=args.nfilter, nres_layer_count=args.nres,
+                       filter=args.filter, fourier_u=fourier_u)
     else:
         model = GConvForecaster(
             op, seq_closeness=args.seq, seq_period=args.seq_period,

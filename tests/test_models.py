@@ -301,3 +301,22 @@ class TestTrainerEndToEnd:
         preds = trainer.predict(data)
         assert preds.shape == labels.shape
         assert preds.min() >= 0.0  # ReLU prediction head (graph_model.py:241)
+
+
+class TestResGNNFourier:
+    def test_fourier_filter_resgnn(self):
+        from cnn_graph_tpu.graphs import construction as gcc
+
+        rng = np.random.default_rng(9)
+        z = rng.uniform(size=(40, 2)).astype(np.float32)
+        W = gcc.knn_graph(z, k=4)
+        L = gcc.laplacian(W, normalized=True)
+        _, U = gcc.fourier(L)
+        op = device_laplacian(L, fmt="dense")
+        model = ResGNN(op, input_features=6, nfilter=8, nres_layer_count=1,
+                       filter="fourier", fourier_u=jnp.asarray(U, jnp.float32))
+        params = model.init(jax.random.PRNGKey(0))
+        assert params["tower"]["conv_init"].shape == (40, 8, 6)
+        out = model.apply(params, jnp.ones((2, 40, 6)))
+        assert out.shape == (2, 40, 2)
+        assert bool(jnp.all(jnp.isfinite(out)))

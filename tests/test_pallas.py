@@ -55,6 +55,20 @@ class TestBsrSpmmInterpret:
         pallas = np.asarray(bsr_spmm(op, X, interpret=True))
         np.testing.assert_allclose(pallas, xla, atol=1e-4)
 
+    def test_rectangular_blocks_8x128(self, big_graph):
+        # Short-wide tiles: same math, ~8x less fill-in on sparse rows.
+        op = device_laplacian(big_graph, fmt="bsr", block_size=(8, 128),
+                              use_pallas=False)
+        assert op.blocks.shape[1:] == (8, 128)
+        rng = np.random.default_rng(4)
+        X = rng.normal(size=(op.m_padded, 256)).astype(np.float32)
+        X[op.m:] = 0
+        Lr = gc.rescale_laplacian(big_graph, 2.0)
+        got_xla = np.asarray(op.matmul(jnp.asarray(X)))
+        np.testing.assert_allclose(got_xla[: op.m], Lr @ X[: op.m], atol=1e-4)
+        got_pl = np.asarray(bsr_spmm(op, jnp.asarray(X), interpret=True))
+        np.testing.assert_allclose(got_pl, got_xla, atol=1e-4)
+
     def test_rowptr_consistency(self, big_graph):
         op = device_laplacian(big_graph, fmt="bsr", block_size=128)
         rowptr = np.asarray(op.block_rowptr)

@@ -1,0 +1,78 @@
+"""Tests for the smaller utility surfaces: notify, plots, rdata gating,
+scalable kNN, show_document."""
+
+import json
+
+import numpy as np
+import pytest
+
+from cnn_graph_tpu.graphs import construction as gc
+from cnn_graph_tpu.utils.notify import send_notification
+
+
+class TestScalableKnn:
+    def test_tree_matches_dense(self, rng):
+        z = rng.uniform(size=(200, 3))
+        d1, i1 = gc.knn(z, k=5, algorithm="dense")
+        d2, i2 = gc.knn(z, k=5, algorithm="auto")
+        np.testing.assert_allclose(d1, d2, atol=1e-9)
+        np.testing.assert_array_equal(i1, i2)
+
+
+class TestNotify:
+    def test_file_sink(self, tmp_path):
+        path = tmp_path / "notes.jsonl"
+        ok = send_notification("sweep done", sink=f"file:{path}", rmse=1.25)
+        assert ok
+        rec = json.loads(path.read_text().strip())
+        assert rec["message"] == "sweep done" and rec["rmse"] == 1.25
+
+    def test_print_sink(self, capsys):
+        assert send_notification("hello", sink="print")
+        assert "hello" in capsys.readouterr().out
+
+    def test_never_raises(self):
+        # Unreachable http endpoint in a no-egress env: returns False.
+        assert send_notification("x", sink="http://127.0.0.1:9/x") is False
+
+
+class TestPlots:
+    def test_plot_spectrum_returns_figure(self, small_graph):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from cnn_graph_tpu.utils.plots import plot_spectrum
+
+        _, L, _ = small_graph
+        fig = plot_spectrum([L])
+        assert fig is not None
+        assert len(fig.axes[0].lines) == 1
+
+
+class TestRData:
+    def test_gated_error_without_readers(self, tmp_path):
+        from cnn_graph_tpu.data.rdata import rdata_to_dict
+
+        try:
+            import pyreadr  # noqa: F401
+
+            pytest.skip("pyreadr available; gating not exercised")
+        except ImportError:
+            pass
+        with pytest.raises(Exception) as exc:
+            rdata_to_dict(str(tmp_path / "x.RData"))
+        assert "pyreadr" in str(exc.value) or "rpy2" in str(exc.value) or \
+            isinstance(exc.value, FileNotFoundError)
+
+
+class TestShowDocument:
+    def test_prints_label_and_counts(self, capsys):
+        from cnn_graph_tpu.data.text import synthetic_text_dataset
+
+        ds = synthetic_text_dataset(n_docs=10, vocab_size=30, seed=0)
+        ds.clean_text()
+        ds.vectorize()
+        ds.show_document(0)
+        out = capsys.readouterr().out
+        assert "document 0: label" in out
+        assert "words" in out
