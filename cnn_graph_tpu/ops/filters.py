@@ -35,6 +35,25 @@ __all__ = [
 ]
 
 
+def _fused_eligible(L, fin: int, fout: int, col_tile: int = 512) -> bool:
+    """Shape guard for the fused Pallas conv: the column tile must hold
+    whole samples with 128-lane-aligned activation and output tiles, and
+    the working set must fit VMEM (see ops/pallas_cheby.py)."""
+    from cnn_graph_tpu.ops.pallas_cheby import fused_vmem_ok
+
+    # Both directions must tile cleanly: the custom VJP runs the kernel
+    # again with (fin, fout) swapped for dx.
+    for a, b in ((fin, fout), (fout, fin)):
+        if a > col_tile:
+            return False
+        s = max(col_tile // a, 1)
+        if (s * a) % 128 != 0 or (s * b) % 128 != 0 or s * b > 2048:
+            return False
+        if not fused_vmem_ok(L.m_padded, L.compute_dtype, col_tile=s * a):
+            return False
+    return True
+
+
 def _pad_nodes(x: jax.Array, m_padded: int) -> jax.Array:
     """Zero-pad the node axis of [M, ...] to the operator's padded size."""
     m = x.shape[0]
@@ -91,6 +110,17 @@ def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array) -> jax.Array:
     K, Fin, Fout = w.shape
     B, M, F = x.shape
     assert F == Fin, f"feature mismatch: x has {F}, w expects {Fin}"
+
+    # bf16 operators use a smaller column tile: the fused kernel's VMEM
+    # working set at tile 512 exceeds the 16MB scoped limit once XLA also
+    # places the output block there (measured OOM by 1.6MB at M=976).
+    fused_tile = 512 if L.compute_dtype == jnp.float32 else 256
+    if getattr(L, "use_fused", False) and _fused_eligible(
+        L, Fin, Fout, col_tile=fused_tile
+    ):
+        from cnn_graph_tpu.ops.pallas_cheby import cheby_conv_fused
+
+        return cheby_conv_fused(x, L, w, col_tile=fused_tile)
 
     basis = cheby_basis(x, L, K)  # [K, B, M, Fin] in L.compute_dtype
     return jnp.einsum(

@@ -54,7 +54,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["mat"],
-    meta_fields=["m", "m_padded", "nnz"],
+    meta_fields=["m", "m_padded", "nnz", "use_fused"],
 )
 @dataclasses.dataclass(frozen=True)
 class DenseLaplacian:
@@ -70,6 +70,7 @@ class DenseLaplacian:
     m: int
     m_padded: int
     nnz: int
+    use_fused: bool = False  # fused Pallas conv when the call shape fits
 
     @property
     def compute_dtype(self):
@@ -252,8 +253,13 @@ def device_laplacian(
         mp = _round_up(m, 8)
         dense = np.zeros((mp, mp), dtype=np.float32)
         dense[:m, :m] = L.toarray()
+        # The fused Pallas conv is opt-in (use_pallas=True): its forward is
+        # ~1.5x the XLA path at M~1000, but its custom VJP rematerializes
+        # the basis, so TRAINING is faster on the XLA path — use fused
+        # operators for inference/serving (see DESIGN.md §1).
         return DenseLaplacian(
-            mat=jnp.asarray(dense, dtype=dtype), m=m, m_padded=mp, nnz=nnz
+            mat=jnp.asarray(dense, dtype=dtype), m=m, m_padded=mp, nnz=nnz,
+            use_fused=bool(use_pallas),
         )
 
     if fmt == "bsr":
