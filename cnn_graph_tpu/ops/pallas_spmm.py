@@ -9,9 +9,9 @@ on the MXU — HBM traffic is O(nnz-blocks) with no intermediate tensors.
 
 Grid: (row-blocks, column-tiles).  Per program, the block-CSR row extent
 ``row_ptr[i]:row_ptr[i+1]`` (scalar-prefetched, so DMA addresses are known
-before the body runs) is walked with a two-slot pipeline:
+before the body runs) is walked with an NBUF-slot pipeline:
 
-    start DMA b+1 | wait DMA b | acc += blocks[b] @ x[cols[b]]
+    start DMA b+NBUF-1 | wait DMA b | acc += blocks[b] @ x[cols[b]]
 
 The kernel assumes block rows are sorted (pack_block_sparse guarantees it).
 """
@@ -26,6 +26,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["bsr_spmm"]
+
+
+NBUF = 4  # DMA pipeline depth: per-block transfers are small (~tens of
+# KB), so latency only hides behind compute with several copies in flight.
 
 
 def _kernel(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
@@ -49,21 +53,24 @@ def _kernel(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
             ),
         )
 
-    @pl.when(lo < hi)
-    def _():
-        b0, x0 = dma_pair(lo, 0)
-        b0.start()
-        x0.start()
+    def start(b, slot):
+        bd, xd = dma_pair(b, slot)
+        bd.start()
+        xd.start()
+
+    # Warm-up: fill the pipeline.
+    for d in range(NBUF - 1):
+        @pl.when(lo + d < hi)
+        def _(d=d):
+            start(lo + d, jax.lax.rem(jnp.int32(d), NBUF))
 
     def body(b, _):
-        slot = jax.lax.rem(b - lo, 2)
-        next_slot = jax.lax.rem(b - lo + 1, 2)
+        slot = jax.lax.rem(b - lo, NBUF)
+        ahead = b + NBUF - 1
 
-        @pl.when(b + 1 < hi)
+        @pl.when(ahead < hi)
         def _():
-            bn, xn = dma_pair(b + 1, next_slot)
-            bn.start()
-            xn.start()
+            start(ahead, jax.lax.rem(ahead - lo, NBUF))
 
         bcur, xcur = dma_pair(b, slot)
         bcur.wait()
@@ -103,11 +110,11 @@ def bsr_spmm(L, x: jax.Array, col_tile: int = 512,
             (br, tc), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((br, tc), jnp.float32),      # accumulator
-            pltpu.VMEM((2, br, bc), L.blocks.dtype),  # block double-buffer
-            pltpu.VMEM((2, bc, tc), x.dtype),         # x-tile double-buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((br, tc), jnp.float32),        # accumulator
+            pltpu.VMEM((NBUF, br, bc), L.blocks.dtype),  # block pipeline
+            pltpu.VMEM((NBUF, bc, tc), x.dtype),         # x-tile pipeline
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 
