@@ -8,6 +8,7 @@ from cnn_graph_tpu.models.gconv_lstm import (
     glstm_stack_init,
 )
 from cnn_graph_tpu.models.gconv_rnn import GConvRNN
+from cnn_graph_tpu.models.node_classifier import NodeClassifier
 from cnn_graph_tpu.models.resgnn import ResGNN
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "GConvForecaster",
     "GConvLSTMCell",
     "GConvRNN",
+    "NodeClassifier",
     "glstm_stack_apply",
     "glstm_stack_init",
     "ResGNN",

@@ -196,14 +196,23 @@ def pack_block_sparse(L: scipy.sparse.spmatrix,
     """Tile a sparse matrix into dense ``br x bc`` blocks, keeping nonzero
     tiles only.
 
-    Returns ``(blocks, block_rows, block_cols, block_rowptr, m_padded)`` as
-    NumPy arrays, blocks sorted by (row, col).
+    Returns ``(blocks, block_rows, block_cols, block_rowptr, m_padded)``
+    as NumPy arrays, blocks sorted by (row, col).  Square inputs pad both
+    dims to lcm(br, bc) (so ``m_padded`` stays a single int for the
+    square operators); rectangular inputs (e.g. the per-shard extended
+    matrices of parallel/sparse_halo.py) pad each dim independently and
+    ``m_padded`` is the padded ROW count.
     """
     br_sz, bc_sz = block_shape
-    m = L.shape[0]
-    mp = _round_up(m, int(np.lcm(br_sz, bc_sz)))
-    n_rb = mp // br_sz
-    n_cb = mp // bc_sz
+    rows, cols = L.shape
+    if rows == cols:
+        mp = _round_up(rows, int(np.lcm(br_sz, bc_sz)))
+        mp_r = mp_c = mp
+    else:
+        mp_r = _round_up(rows, br_sz)
+        mp_c = _round_up(cols, bc_sz)
+    n_rb = mp_r // br_sz
+    n_cb = mp_c // bc_sz
     coo = L.tocoo()
     br = coo.row // br_sz
     bc = coo.col // bc_sz
@@ -216,7 +225,7 @@ def pack_block_sparse(L: scipy.sparse.spmatrix,
 
     brows = (unique_ids // n_cb).astype(np.int32)
     rowptr = np.searchsorted(brows, np.arange(n_rb + 1)).astype(np.int32)
-    return blocks, brows, (unique_ids % n_cb).astype(np.int32), rowptr, mp
+    return blocks, brows, (unique_ids % n_cb).astype(np.int32), rowptr, mp_r
 
 
 def device_laplacian(

@@ -84,12 +84,28 @@ def _kernel(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
     y_ref[:] = acc_ref[:].astype(y_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
 def bsr_spmm(L, x: jax.Array, col_tile: int = 512,
              interpret: bool = False) -> jax.Array:
     """``L @ x`` for a BlockSparseLaplacian with block-CSR row pointers.
 
     ``x``: [Mp, C]; C is padded to a multiple of the column tile.
+    Differentiable via a custom VJP (``dx = L @ g`` — the rescaled
+    Laplacian is symmetric); Pallas kernels have no automatic JVP rule.
     """
+    return _bsr_spmm_impl(L, x, col_tile, interpret)
+
+
+def _bsr_fwd(L, x, col_tile, interpret):
+    return _bsr_spmm_impl(L, x, col_tile, interpret), None
+
+
+def _bsr_bwd(L, col_tile, interpret, _res, g):
+    return (_bsr_spmm_impl(L, g, col_tile, interpret),)
+
+
+def _bsr_spmm_impl(L, x: jax.Array, col_tile: int = 512,
+                   interpret: bool = False) -> jax.Array:
     br, bc = L.block_shape
     mp = L.m_padded
     nbr = mp // br
@@ -133,3 +149,6 @@ def bsr_spmm(L, x: jax.Array, col_tile: int = 512,
         ),
     )(L.block_rowptr, L.block_cols, L.blocks, x)
     return y[:, :C]
+
+
+bsr_spmm.defvjp(_bsr_fwd, _bsr_bwd)

@@ -2,7 +2,12 @@
 
 from cnn_graph_tpu.parallel.halo import (
     HaloShardedLaplacian,
+    build_halo_plan,
     halo_sharded_laplacian,
+)
+from cnn_graph_tpu.parallel.sparse_halo import (
+    SparseHaloLaplacian,
+    sparse_halo_laplacian,
 )
 from cnn_graph_tpu.parallel.mesh import P, data_sharding, make_mesh, replicated
 from cnn_graph_tpu.parallel.node_sharded import (
@@ -16,7 +21,10 @@ __all__ = [
     "make_mesh",
     "replicated",
     "HaloShardedLaplacian",
+    "build_halo_plan",
     "halo_sharded_laplacian",
+    "SparseHaloLaplacian",
+    "sparse_halo_laplacian",
     "NodeShardedLaplacian",
     "node_sharded_laplacian",
 ]

@@ -33,7 +33,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_graph_tpu.graphs.construction import rescale_laplacian
 
-__all__ = ["HaloShardedLaplacian", "halo_sharded_laplacian"]
+__all__ = [
+    "HaloShardedLaplacian",
+    "halo_sharded_laplacian",
+    "build_halo_plan",
+    "halo_exchange_columns",
+]
 
 
 @functools.partial(
@@ -72,16 +77,7 @@ class HaloShardedLaplacian:
         H = self.halo
 
         def local_matmul(L_ext, send_idx_local, x_local):
-            # send_idx_local: [1, n, H] (leading shard axis) -> [n, H].
-            sidx = send_idx_local[0]
-            send_buf = jnp.take(x_local, sidx.reshape(-1), axis=0)
-            send_buf = send_buf.reshape(n, H, x_local.shape[1])
-            recv = jax.lax.all_to_all(
-                send_buf, "nodes", split_axis=0, concat_axis=0, tiled=False
-            )  # [n, H, C]: recv[t] = rows sent to us by shard t
-            x_ext = jnp.concatenate(
-                [x_local, recv.reshape(n * H, x_local.shape[1])], axis=0
-            )
+            x_ext = halo_exchange_columns(x_local, send_idx_local, n, H)
             return jnp.dot(L_ext, x_ext, preferred_element_type=x.dtype)
 
         return jax.shard_map(
@@ -93,6 +89,58 @@ class HaloShardedLaplacian:
             axis_names={"nodes"},
             check_vma=False,
         )(self.mat_ext, self.send_idx, x)
+
+
+def build_halo_plan(L: scipy.sparse.spmatrix, n: int, tile: int = 8):
+    """Compute the halo-exchange plan for a contiguous n-way row partition.
+
+    Returns ``(Lp, mp, ms, need, send_idx, H)``: the zero-padded matrix,
+    padded size, rows per shard, per-pair needed remote columns, the
+    SPMD-uniform send-index tensor [n, n, H], and the pair-halo width.
+    Shared by the dense (HaloShardedLaplacian) and block-sparse
+    (parallel.sparse_halo) operators.
+    """
+    m = L.shape[0]
+    step = tile * n
+    mp = -(-m // step) * step
+    ms = mp // n
+
+    Lp = scipy.sparse.csr_matrix((L.data, L.indices, L.indptr), shape=(m, mp))
+    Lp.resize(mp, mp)
+
+    need = [[np.array([], np.int64) for _ in range(n)] for _ in range(n)]
+    for s in range(n):
+        block = Lp[s * ms : (s + 1) * ms]
+        cols = np.unique(block.indices)
+        remote = cols[(cols < s * ms) | (cols >= (s + 1) * ms)]
+        owners = remote // ms
+        for t in range(n):
+            need[s][t] = remote[owners == t]
+
+    H = max((len(need[s][t]) for s in range(n) for t in range(n)), default=0)
+    H = max(H, 1)  # keep shapes non-degenerate
+
+    send_idx = np.zeros((n, n, H), np.int32)
+    for s in range(n):
+        for t in range(n):
+            cols = need[s][t]
+            send_idx[t, s, : len(cols)] = cols - t * ms
+    return Lp, mp, ms, need, send_idx, H
+
+
+def halo_exchange_columns(x_local, send_idx_local, n: int, H: int):
+    """The per-hop exchange: gather boundary rows per peer, one
+    ``all_to_all``, return ``[local | halo]`` extended rows.  Runs inside
+    shard_map over the ``nodes`` axis; shared by both halo operators."""
+    sidx = send_idx_local[0]  # [n, H]
+    send_buf = jnp.take(x_local, sidx.reshape(-1), axis=0)
+    send_buf = send_buf.reshape(n, H, x_local.shape[1])
+    recv = jax.lax.all_to_all(
+        send_buf, "nodes", split_axis=0, concat_axis=0, tiled=False
+    )
+    return jnp.concatenate(
+        [x_local, recv.reshape(n * H, x_local.shape[1])], axis=0
+    )
 
 
 def halo_sharded_laplacian(
@@ -115,36 +163,7 @@ def halo_sharded_laplacian(
     L = L.tocsr()
     m = L.shape[0]
     n = mesh.shape["nodes"]
-    tile = 8 * n
-    mp = -(-m // tile) * tile
-    ms = mp // n
-
-    # Pad to mp x mp (zero rows/cols).
-    Lp = scipy.sparse.csr_matrix((L.data, L.indices, L.indptr), shape=(m, mp))
-    Lp.resize(mp, mp)
-
-    def owner(col):
-        return col // ms
-
-    # need[s][t] = sorted remote columns shard s needs from shard t.
-    need = [[np.array([], np.int64) for _ in range(n)] for _ in range(n)]
-    for s in range(n):
-        block = Lp[s * ms : (s + 1) * ms]
-        cols = np.unique(block.indices)
-        remote = cols[(cols < s * ms) | (cols >= (s + 1) * ms)]
-        owners = owner(remote)
-        for t in range(n):
-            need[s][t] = remote[owners == t]
-
-    H = max((len(need[s][t]) for s in range(n) for t in range(n)), default=0)
-    H = max(H, 1)  # keep shapes non-degenerate
-
-    # send_idx[t, s] = shard-t-local positions of the rows s needs.
-    send_idx = np.zeros((n, n, H), np.int32)
-    for s in range(n):
-        for t in range(n):
-            cols = need[s][t]
-            send_idx[t, s, : len(cols)] = cols - t * ms
+    Lp, mp, ms, need, send_idx, H = build_halo_plan(L, n)
 
     # Extended-column local blocks: columns [0, ms) local, then for each
     # peer t a slot range [ms + t*H, ms + t*H + len(need[s][t])).

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Large-graph transductive node classification (ogbn-style config).
+
+BASELINE.json config 5 extends the reference family with node
+classification at scale (papers100M, multi-host edge-partitioned
+Chebyshev).  This driver trains a NodeClassifier over a synthetic
+community graph through the block-sparse operator (single chip) or the
+sparse-halo operator on a device mesh (``--mesh-nodes`` with
+CNN_GRAPH_CPU=1 and a virtual device count for simulation).
+
+Run:
+  python experiments/node_classification.py --nodes 100000
+  CNN_GRAPH_CPU=1 XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python experiments/node_classification.py --nodes 4096 --mesh-nodes 4
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import _common  # noqa: F401  (CPU escape hatch for the pinned-TPU env)
+
+
+def build_graph(n_nodes, n_classes, feat_dim, seed):
+    """Planted-partition graph on a planar layout: communities are
+    spatial patches, so the kNN graph is RCM-bandable AND label-correlated."""
+    import numpy as np
+    from cnn_graph_tpu.graphs import construction as gc
+
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n_nodes)))
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    pos = np.stack([xs.ravel(), ys.ravel()], 1)[:n_nodes].astype(np.float32)
+    pos += rng.normal(0, 0.3, pos.shape).astype(np.float32)
+
+    # Community = spatial patch id hashed to a class.
+    patch = (pos[:, 0] // (side / 8)).astype(int) * 8 + (
+        pos[:, 1] // (side / 8)
+    ).astype(int)
+    labels = (patch % n_classes).astype(np.int64)
+
+    # Features: class signature + noise.
+    signatures = rng.normal(0, 1, (n_classes, feat_dim)).astype(np.float32)
+    feats = signatures[labels] + rng.normal(0, 1.0, (n_nodes, feat_dim)
+                                            ).astype(np.float32)
+
+    dist, idx = gc.knn(pos, k=8, algorithm="auto")
+    W = gc.adjacency(dist, idx)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm].tocsr()
+    return gc.laplacian(W, normalized=True), feats[perm], labels[perm]
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--nodes", type=int, default=100000)
+    p.add_argument("--classes", type=int, default=16)
+    p.add_argument("--features", type=int, default=32)
+    p.add_argument("--hidden", type=int, nargs="*", default=[64])
+    p.add_argument("--K", type=int, default=3)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--learning-rate", type=float, default=1e-2)
+    p.add_argument("--train-frac", type=float, default=0.1)
+    p.add_argument("--mesh-nodes", type=int, default=0,
+                   help=">0: edge-partition over a (data=1, nodes=N) mesh")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from cnn_graph_tpu.models import NodeClassifier
+    from cnn_graph_tpu.ops import device_laplacian
+    from cnn_graph_tpu.parallel import make_mesh, sparse_halo_laplacian
+
+    t0 = time.time()
+    L, feats, labels = build_graph(args.nodes, args.classes, args.features,
+                                   args.seed)
+    print(f"graph: {L.shape[0]} nodes, {L.nnz} nnz "
+          f"({time.time() - t0:.1f}s host precompute)")
+
+    mesh = None
+    if args.mesh_nodes > 0:
+        mesh = make_mesh(data=jax.device_count() // args.mesh_nodes,
+                         nodes=args.mesh_nodes)
+        op = sparse_halo_laplacian(L, mesh)
+        print(f"sparse-halo operator: {op.blocks.shape[1]} blocks/shard, "
+              f"halo {op.halo} rows/peer, mesh {dict(mesh.shape)}")
+    else:
+        op = device_laplacian(L, fmt="auto")
+        print(f"operator: {type(op).__name__}")
+
+    m = op.m_padded
+    fp = np.zeros((m, args.features), np.float32)
+    fp[: len(feats)] = feats
+    yp = np.zeros((m,), np.int64)
+    yp[: len(labels)] = labels
+    rng = np.random.default_rng(args.seed)
+    mask = np.zeros(m, bool)
+    mask[: len(labels)] = rng.random(len(labels)) < args.train_frac
+    test_mask = np.zeros(m, bool)
+    test_mask[: len(labels)] = ~mask[: len(labels)]
+
+    features = jnp.asarray(fp)
+    y = jnp.asarray(yp)
+    train_mask = jnp.asarray(mask)
+
+    model = NodeClassifier(op, input_features=args.features,
+                           num_classes=args.classes, hidden=args.hidden,
+                           K=args.K, dropout=0.8)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    opt = optax.adam(args.learning_rate)
+    state = opt.init(params)
+
+    @jax.jit
+    def run(params, state, key):
+        def step(carry, _):
+            params, state, key = carry
+            key, sk = jax.random.split(key)
+            loss, grads = jax.value_and_grad(model.loss)(
+                params, features, y, train_mask, train=True, rng=sk
+            )
+            updates, state = opt.update(grads, state, params)
+            return (optax.apply_updates(params, updates), state, key), loss
+
+        (params, state, _), losses = jax.lax.scan(
+            step, (params, state, key), None, length=args.steps
+        )
+        return params, state, losses
+
+    ctx = mesh if mesh is not None else _null_ctx()
+    with ctx:
+        t0 = time.time()
+        params, state, losses = run(params, state, jax.random.PRNGKey(1))
+        jax.block_until_ready(losses)
+        wall = time.time() - t0
+        train_acc = float(model.accuracy(params, features, y, train_mask))
+        test_acc = float(model.accuracy(params, features, y,
+                                        jnp.asarray(test_mask)))
+    losses = np.asarray(losses)
+    print(f"trained {args.steps} steps in {wall:.1f}s "
+          f"({wall / args.steps * 1000:.1f} ms/step incl. compile)")
+    print(f"loss {losses[0]:.3f} -> {losses[-1]:.3f} | "
+          f"train acc {train_acc:.3f} | test acc {test_acc:.3f}")
+
+
+class _null_ctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == "__main__":
+    main()

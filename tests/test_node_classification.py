@@ -1,0 +1,129 @@
+"""Node classification + sparse halo operator tests (ogbn-style path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cnn_graph_tpu.graphs import construction as gc
+from cnn_graph_tpu.models import NodeClassifier
+from cnn_graph_tpu.ops import device_laplacian
+from cnn_graph_tpu.parallel import make_mesh, sparse_halo_laplacian
+
+
+@pytest.fixture(scope="module")
+def community_graph():
+    """Planted-partition graph: 4 communities, labels = community id —
+    the canonical transductive node-classification testbed."""
+    rng = np.random.default_rng(0)
+    n_per, k = 64, 4
+    centers = rng.normal(0, 5, (k, 8))
+    z = np.concatenate(
+        [centers[c] + rng.normal(0, 1, (n_per, 8)) for c in range(k)]
+    ).astype(np.float32)
+    labels = np.repeat(np.arange(k), n_per)
+    order = rng.permutation(len(labels))
+    z, labels = z[order], labels[order]
+    W = gc.knn_graph(z, k=6)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm].tocsr()
+    z, labels = z[perm], labels[perm]
+    L = gc.laplacian(W, normalized=True)
+    features = jnp.asarray(z)
+    return L, features, jnp.asarray(labels)
+
+
+class TestNodeClassifier:
+    def test_shapes_and_masked_loss(self, community_graph):
+        L, features, labels = community_graph
+        op = device_laplacian(L, fmt="dense")
+        model = NodeClassifier(op, input_features=8, num_classes=4,
+                               hidden=[16], K=3)
+        params = model.init(jax.random.PRNGKey(0))
+        logits = model.apply(params, features)
+        assert logits.shape == (features.shape[0], 4)
+
+        mask = jnp.arange(features.shape[0]) < 100
+        l_masked = model.loss(params, features, labels, mask)
+        l_full = model.loss(params, features, labels)
+        assert float(l_masked) > 0 and float(l_full) > 0
+        assert not np.isclose(float(l_masked), float(l_full))
+
+    def test_transductive_training(self, community_graph):
+        L, features, labels = community_graph
+        op = device_laplacian(L, fmt="dense")
+        model = NodeClassifier(op, input_features=8, num_classes=4,
+                               hidden=[32], K=3, dropout=0.8)
+        params = model.init(jax.random.PRNGKey(1))
+        n = features.shape[0]
+        rng = np.random.default_rng(2)
+        train_mask = jnp.asarray(rng.random(n) < 0.3)
+        test_mask = ~train_mask
+
+        opt = optax.adam(1e-2)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state, key):
+            loss, grads = jax.value_and_grad(model.loss)(
+                params, features, labels, train_mask, train=True, rng=key
+            )
+            updates, state = opt.update(grads, state, params)
+            return optax.apply_updates(params, updates), state, loss
+
+        key = jax.random.PRNGKey(3)
+        for _ in range(150):
+            key, sk = jax.random.split(key)
+            params, state, loss = step(params, state, sk)
+
+        acc = float(model.accuracy(params, features, labels, test_mask))
+        assert acc > 0.85, acc  # communities are cleanly separable
+
+
+class TestSparseHaloLaplacian:
+    @pytest.mark.parametrize("nodes", [2, 4])
+    def test_matmul_matches_dense(self, community_graph, nodes):
+        L, _, _ = community_graph
+        mesh = make_mesh(data=8 // nodes, nodes=nodes)
+        sp = sparse_halo_laplacian(L, mesh, block_shape=(8, 8))
+        dense = device_laplacian(L, fmt="dense")
+
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(sp.m_padded, 16)).astype(np.float32)
+        X[sp.m:] = 0
+        with mesh:
+            got = np.asarray(jax.jit(sp.matmul)(jnp.asarray(X)))
+        Xd = np.zeros((dense.m_padded, 16), np.float32)
+        Xd[: dense.m] = X[: dense.m]
+        want = np.asarray(dense.matmul(jnp.asarray(Xd)))
+        np.testing.assert_allclose(got[: sp.m], want[: sp.m], atol=1e-4)
+
+    def test_node_classifier_over_sparse_halo(self, community_graph):
+        L, features, labels = community_graph
+        mesh = make_mesh(data=4, nodes=2)
+        sp = sparse_halo_laplacian(L, mesh, block_shape=(8, 8))
+        dense = device_laplacian(L, fmt="dense")
+
+        model_sp = NodeClassifier(sp, input_features=8, num_classes=4,
+                                  hidden=[16], K=3)
+        model_d = NodeClassifier(dense, input_features=8, num_classes=4,
+                                 hidden=[16], K=3)
+        params = model_d.init(jax.random.PRNGKey(0))
+
+        # Features padded to the sharded operator's node count.
+        fp = jnp.zeros((sp.m_padded, 8)).at[: sp.m].set(features)
+        with mesh:
+            logits_sp = np.asarray(
+                jax.jit(model_sp.apply)(params, fp)
+            )[: sp.m]
+        logits_d = np.asarray(model_d.apply(params, features))
+        np.testing.assert_allclose(logits_sp, logits_d, atol=1e-4)
+
+    def test_memory_is_blocks_not_dense(self, community_graph):
+        L, _, _ = community_graph
+        mesh = make_mesh(data=2, nodes=4)
+        sp = sparse_halo_laplacian(L, mesh, block_shape=(8, 8))
+        dense_entries = sp.m_padded * (sp.rows_per_shard + 4 * sp.halo)
+        sparse_entries = int(np.prod(sp.blocks.shape))
+        assert sparse_entries < dense_entries

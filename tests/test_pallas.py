@@ -76,3 +76,21 @@ class TestBsrSpmmInterpret:
         assert rowptr[0] == 0 and rowptr[-1] == len(brows)
         for i in range(len(rowptr) - 1):
             assert np.all(brows[rowptr[i] : rowptr[i + 1]] == i)
+
+    def test_gradients_through_kernel(self, big_graph):
+        # The custom VJP (symmetric adjoint) makes the kernel trainable.
+        import jax
+
+        op = device_laplacian(big_graph, fmt="bsr", block_size=128)
+        rng = np.random.default_rng(5)
+        X = jnp.asarray(rng.normal(size=(op.m_padded, 128)).astype(np.float32))
+
+        def loss(x):
+            return jnp.sum(bsr_spmm(op, x, interpret=True) ** 2)
+
+        g = jax.grad(loss)(X)
+        # Analytic: d/dx sum((Lx)^2) = 2 L^T L x = 2 L L x (symmetric).
+        want = 2 * np.asarray(
+            bsr_spmm(op, bsr_spmm(op, X, interpret=True), interpret=True)
+        )
+        np.testing.assert_allclose(np.asarray(g), want, atol=1e-3)
