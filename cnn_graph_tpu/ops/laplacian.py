@@ -37,6 +37,7 @@ import scipy.sparse
 from cnn_graph_tpu.graphs.construction import rescale_laplacian
 
 __all__ = [
+    "zero_cotangent",
     "DenseLaplacian",
     "BlockSparseLaplacian",
     "BCOOLaplacian",
@@ -49,6 +50,19 @@ MXU_TILE = 128
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def zero_cotangent(tree):
+    """Structure-matching zero cotangents for an operator pytree (float0
+    for integer leaves) — used by the custom VJPs that take operators as
+    differentiable-but-constant arguments."""
+
+    def zero(a):
+        if jnp.issubdtype(a.dtype, jnp.inexact):
+            return jnp.zeros_like(a)
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    return jax.tree.map(zero, tree)
 
 
 @functools.partial(

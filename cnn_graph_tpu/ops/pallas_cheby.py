@@ -97,7 +97,7 @@ def _kernel(L_ref, x_ref, wexp_hbm, y_ref, ta, tb, acc, wbuf, wsem,
     y_ref[:] = acc[:]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def cheby_conv_fused(x: jax.Array, L, w: jax.Array,
                      col_tile: int = 512,
                      interpret: bool = False) -> jax.Array:
@@ -172,11 +172,11 @@ def _fused_fwd_impl(x, L, w, col_tile, interpret):
 
 
 def _fused_fwd(x, L, w, col_tile, interpret):
-    return _fused_fwd_impl(x, L, w, col_tile, interpret), (x, w)
+    return _fused_fwd_impl(x, L, w, col_tile, interpret), (x, L, w)
 
 
-def _fused_bwd(L, col_tile, interpret, residuals, g):
-    x, w = residuals
+def _fused_bwd(col_tile, interpret, residuals, g):
+    x, L, w = residuals
     # dx: adjoint filter = same filter with transposed taps (L symmetric).
     wt = jnp.transpose(w, (0, 2, 1))  # [K, O, F]
     dx = _fused_fwd_impl(g, L, wt, col_tile, interpret)
@@ -189,7 +189,9 @@ def _fused_bwd(L, col_tile, interpret, residuals, g):
         "kbmf,bmo->kfo", basis.astype(g.dtype), g,
         preferred_element_type=w.dtype,
     ).astype(w.dtype)
-    return dx, dw
+    from cnn_graph_tpu.ops.laplacian import zero_cotangent
+
+    return dx, zero_cotangent(L), dw
 
 
 cheby_conv_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -84,7 +84,7 @@ def _kernel(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
     y_ref[:] = acc_ref[:].astype(y_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def bsr_spmm(L, x: jax.Array, col_tile: int = 512,
              interpret: bool = False) -> jax.Array:
     """``L @ x`` for a BlockSparseLaplacian with block-CSR row pointers.
@@ -92,16 +92,21 @@ def bsr_spmm(L, x: jax.Array, col_tile: int = 512,
     ``x``: [Mp, C]; C is padded to a multiple of the column tile.
     Differentiable via a custom VJP (``dx = L @ g`` — the rescaled
     Laplacian is symmetric); Pallas kernels have no automatic JVP rule.
+    The operator is a differentiable argument with zero cotangents (it
+    may carry tracers when threaded through jit, which nondiff_argnums
+    cannot accept).
     """
     return _bsr_spmm_impl(L, x, col_tile, interpret)
 
 
 def _bsr_fwd(L, x, col_tile, interpret):
-    return _bsr_spmm_impl(L, x, col_tile, interpret), None
+    return _bsr_spmm_impl(L, x, col_tile, interpret), L
 
 
-def _bsr_bwd(L, col_tile, interpret, _res, g):
-    return (_bsr_spmm_impl(L, g, col_tile, interpret),)
+def _bsr_bwd(col_tile, interpret, L, g):
+    from cnn_graph_tpu.ops.laplacian import zero_cotangent
+
+    return zero_cotangent(L), _bsr_spmm_impl(L, g, col_tile, interpret)
 
 
 def _bsr_spmm_impl(L, x: jax.Array, col_tile: int = 512,

@@ -115,17 +115,20 @@ class SparseHaloLaplacian:
         )(self.blocks, self.block_rows, self.block_cols, self.send_idx, x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+@jax.custom_vjp
 def _sparse_halo_matmul(op, x):
     return op._matmul_impl(x)
 
 
 def _shm_fwd(op, x):
-    return op._matmul_impl(x), None
+    return op._matmul_impl(x), op
 
 
-def _shm_bwd(op, _res, g):
-    return (op._matmul_impl(g),)  # L symmetric: adjoint = itself
+def _shm_bwd(op, g):
+    from cnn_graph_tpu.ops.laplacian import zero_cotangent
+
+    # L symmetric: adjoint = itself; the operator gets zero cotangents.
+    return zero_cotangent(op), op._matmul_impl(g)
 
 
 _sparse_halo_matmul.defvjp(_shm_fwd, _shm_bwd)

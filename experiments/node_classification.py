@@ -109,19 +109,28 @@ def main():
     y = jnp.asarray(yp)
     train_mask = jnp.asarray(mask)
 
-    model = NodeClassifier(op, input_features=args.features,
-                           num_classes=args.classes, hidden=args.hidden,
-                           K=args.K, dropout=0.8)
+    def make_model(operator):
+        return NodeClassifier(operator, input_features=args.features,
+                              num_classes=args.classes, hidden=args.hidden,
+                              K=args.K, dropout=0.8)
+
+    model = make_model(op)
     params = model.init(jax.random.PRNGKey(args.seed))
     opt = optax.adam(args.learning_rate)
     state = opt.init(params)
 
+    # The operator and the node data are jit ARGUMENTS, not closures:
+    # closure-captured arrays become compile-time constants embedded in
+    # the serialized module, which blows up compile payloads at large
+    # graph sizes (operators are pytrees, so passing them is free).
     @jax.jit
-    def run(params, state, key):
+    def run(operator, params, state, key, features, y, train_mask):
+        m = make_model(operator)
+
         def step(carry, _):
             params, state, key = carry
             key, sk = jax.random.split(key)
-            loss, grads = jax.value_and_grad(model.loss)(
+            loss, grads = jax.value_and_grad(m.loss)(
                 params, features, y, train_mask, train=True, rng=sk
             )
             updates, state = opt.update(grads, state, params)
@@ -132,15 +141,22 @@ def main():
         )
         return params, state, losses
 
+    @jax.jit
+    def masked_accuracy(operator, params, features, y, mask):
+        return make_model(operator).accuracy(params, features, y, mask)
+
     ctx = mesh if mesh is not None else _null_ctx()
     with ctx:
         t0 = time.time()
-        params, state, losses = run(params, state, jax.random.PRNGKey(1))
+        params, state, losses = run(op, params, state,
+                                    jax.random.PRNGKey(1), features, y,
+                                    train_mask)
         jax.block_until_ready(losses)
         wall = time.time() - t0
-        train_acc = float(model.accuracy(params, features, y, train_mask))
-        test_acc = float(model.accuracy(params, features, y,
-                                        jnp.asarray(test_mask)))
+        train_acc = float(masked_accuracy(op, params, features, y,
+                                          train_mask))
+        test_acc = float(masked_accuracy(op, params, features, y,
+                                         jnp.asarray(test_mask)))
     losses = np.asarray(losses)
     print(f"trained {args.steps} steps in {wall:.1f}s "
           f"({wall / args.steps * 1000:.1f} ms/step incl. compile)")
