@@ -40,11 +40,19 @@ def main():
         ds = TextRCV1()
         ds.remove_classes(args.classes)
         ds.select_documents()
+        ds.vocab = [f"w{i}" for i in range(ds.data.shape[1])]
+        # RCV1 ships pre-vectorized tf-idf; keep the top words FIRST so
+        # the word-similarity space below stays [top_words, dim]-sized.
+        ds.keep_top_words(args.top_words, Mprint=0)
         X = ds.data
-        ds.vocab = [f"w{i}" for i in range(X.shape[1])]
-        # RCV1 ships pre-vectorized tf-idf; embed over co-occurrence isn't
-        # applicable, so the word graph comes from feature correlations.
-        emb = np.asarray(X.T @ X.todense())  # crude word-similarity space
+        # Word embedding = truncated SVD of the doc-term matrix (word
+        # loadings), replacing word2vec for pre-vectorized input.
+        import scipy.sparse.linalg
+
+        _, s, vt = scipy.sparse.linalg.svds(
+            X.astype(np.float64), k=min(64, X.shape[1] - 1), rng=args.seed
+        )
+        emb = (vt.T * s).astype(np.float32)
     except RuntimeError as e:
         print(f"{e}\nfalling back to a synthetic corpus")
         ds = synthetic_text_dataset(n_docs=1500, vocab_size=800,

@@ -126,3 +126,40 @@ class TestMetricsLogger:
         steps = [l for l in lines if "val_metric" in l]
         assert len(steps) >= 2
         assert all("loss_ema" in l and "step" in l for l in steps)
+
+
+class TestOptimizerVariants:
+    @pytest.mark.parametrize("opt", ["sgd", "rmsprop"])
+    def test_sgd_rmsprop_paths(self, setup, seq_data, opt):
+        # gconvRNN's optimizer surface (gconvRNN.py:381-417): sgd/rmsprop.
+        op = setup
+        x, y = seq_data
+        model = GConvRNN(op, num_units=4, feat_in=2, num_classes=2)
+        cfg = TrainConfig(num_epochs=3, learning_rate=1e-2, batch_size=16,
+                          eval_frequency=6, decay_steps=20, optimizer=opt,
+                          momentum=0.9)
+        tr = Trainer(model, cfg, task="sequence")
+        hist, losses, _ = tr.fit(x, y, x[:8], y[:8], verbose=False)
+        assert np.isfinite(losses[-1])
+
+    def test_no_decay_constant_lr(self, setup, seq_data):
+        op = setup
+        x, y = seq_data
+        model = GConvRNN(op, num_units=4, feat_in=2, num_classes=2)
+        cfg = TrainConfig(num_epochs=1, learning_rate=1e-3, batch_size=16,
+                          eval_frequency=5, decay_rate=1, decay_steps=None)
+        tr = Trainer(model, cfg, task="sequence")
+        hist, _, _ = tr.fit(x, y, x[:8], y[:8], verbose=False)
+        assert len(hist) >= 1
+
+    def test_predict_without_labels(self, setup, seq_data):
+        op = setup
+        x, y = seq_data
+        model = GConvRNN(op, num_units=4, feat_in=2, num_classes=2)
+        cfg = TrainConfig(num_epochs=1, learning_rate=1e-3, batch_size=16,
+                          eval_frequency=5, decay_steps=10)
+        tr = Trainer(model, cfg, task="sequence")
+        tr.fit(x, y, x[:8], y[:8], verbose=False)
+        # Unlabeled predict path with a partial final batch (17 % 16 != 0).
+        preds = tr.predict(x[:17])
+        assert preds.shape[0] == 17
