@@ -37,10 +37,26 @@ def build_dataset(args):
         in_m, out_m, edges = synthetic_flow(
             n_nodes=args.nodes, n_steps=1400, seed=args.seed
         )
-        scipy.io.savemat(os.path.join(data_dir, "ln_data.mat"),
-                         {"inmatrix": in_m, "outmatrix": out_m})
+        rng = np.random.default_rng(args.seed + 1)
+        frac = rng.uniform(0.3, 0.7, in_m.shape)
+        split_in = np.stack([in_m * frac, in_m * (1 - frac)], axis=2)
+        frac = rng.uniform(0.3, 0.7, out_m.shape)
+        split_out = np.stack([out_m * frac, out_m * (1 - frac)], axis=2)
+        scipy.io.savemat(
+            os.path.join(data_dir, "ln_data.mat"),
+            {"inmatrix": in_m, "outmatrix": out_m,
+             "split_in_traffic": split_in, "split_out_traffic": split_out},
+        )
         scipy.io.savemat(os.path.join(data_dir, "edge_matrix.mat"),
                          {"edge_matrix": edges})
+        # BJ-style files: grid-shaped node count for the bj loader, and a
+        # cluster variant with a missing-data (-1) stretch.
+        scipy.io.savemat(os.path.join(data_dir, "bj_data.mat"),
+                         {"inmatrix": in_m, "outmatrix": out_m})
+        in_bad = in_m.copy()
+        in_bad[:, 700:705] = -1
+        scipy.io.savemat(os.path.join(data_dir, "bj_clus.mat"),
+                         {"inmatrix": in_bad, "outmatrix": out_m})
 
     ht = HumanTraffic(data_dir)
     loaders = {
@@ -50,8 +66,27 @@ def build_dataset(args):
         "street": lambda: ht.load_lndata_street(args.seq, args.datafile),
         "unisolate": lambda: ht.load_unisolate_data(args.seq),
         "threshold": lambda: ht.load_data(args.seq),
+        "split_ln": lambda: ht.load_split_ln_data(args.seq, args.datafile),
+        "split_ln_period": lambda: ht.load_split_ln_data_period(
+            args.seq, args.seq_period, args.seq_trend, args.datafile
+        ),
+        "bj": lambda: (*ht.load_bj_data(args.seq), None),
+        "bj_clus": lambda: ht.load_bj_clus_data(args.seq),
+        "bj_clus_period": lambda: ht.load_bj_clus_period_trend(args.seq),
     }
-    tr, va, te, trl, val, tel, edges = loaders[args.loader]()
+    out = loaders[args.loader]()
+    tr, va, te, trl, val, tel = out[:6]
+    edges = out[6] if len(out) > 6 else None
+    if edges is None:
+        # bj_data ships no edge matrix (humantraffic.py:163): build an
+        # 8-NN grid graph over the region lattice like humanflow.py:73-88.
+        import math
+
+        from cnn_graph_tpu.graphs import construction as _gc
+
+        side = int(math.isqrt(tr.shape[1]))
+        assert side * side == tr.shape[1], "bj grid must be square"
+        edges = _gc.knn_graph(_gc.grid(side), k=8)
     return ht, (tr, va, te, trl, val, tel), edges
 
 
@@ -60,7 +95,9 @@ def main():
     p.add_argument("--data-dir", default=None)
     p.add_argument("--datafile", default="ln_data.mat")
     p.add_argument("--loader", default="ln_period",
-                   choices=["ln_period", "street", "unisolate", "threshold"])
+                   choices=["ln_period", "street", "unisolate", "threshold",
+                            "split_ln", "split_ln_period", "bj", "bj_clus",
+                            "bj_clus_period"])
     p.add_argument("--model", default="resgnn", choices=["resgnn", "glstm"])
     p.add_argument("--variant", default="glstm_gconv")
     p.add_argument("--filter", default="chebyshev",
