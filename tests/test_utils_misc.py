@@ -76,3 +76,33 @@ class TestShowDocument:
         out = capsys.readouterr().out
         assert "document 0: label" in out
         assert "words" in out
+
+
+class TestHarnessPlot:
+    def test_model_perf_plot(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from cnn_graph_tpu.utils.harness import ModelPerf
+
+        perf = ModelPerf()
+        perf.names = ["a"]
+        perf.fit_histories = {"a": [1.0, 2.0, 3.0]}
+        perf.fit_losses = {"a": [3.0, 2.0, 1.0]}
+        fig = perf.plot(eval_frequency=10)
+        assert fig is not None
+
+
+class TestMetricsLoggerParams:
+    def test_log_params_record(self, tmp_path):
+        import json
+
+        from cnn_graph_tpu.utils.logging import MetricsLogger
+
+        path = tmp_path / "m.jsonl"
+        with MetricsLogger(str(path)) as lg:
+            lg.log_params({"lr": 0.1, "K": 25})
+            lg.log(1, loss=0.5)
+        lines = [json.loads(l) for l in open(path)]
+        assert any(l.get("event") == "params" and l["K"] == 25 for l in lines)
+        assert lg.scalars["loss"] == [(1, 0.5)]
