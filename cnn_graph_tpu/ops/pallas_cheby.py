@@ -175,23 +175,131 @@ def _fused_fwd(x, L, w, col_tile, interpret):
     return _fused_fwd_impl(x, L, w, col_tile, interpret), (x, L, w)
 
 
+def _dw_eligible(F: int, O: int, col_tile: int = 256) -> bool:
+    s = max(col_tile // F, 1)
+    return (s * F) % 128 == 0 and (s * O) % 128 == 0
+
+
 def _fused_bwd(col_tile, interpret, residuals, g):
     x, L, w = residuals
+    K, F, O = w.shape
     # dx: adjoint filter = same filter with transposed taps (L symmetric).
     wt = jnp.transpose(w, (0, 2, 1))  # [K, O, F]
     dx = _fused_fwd_impl(g, L, wt, col_tile, interpret)
-    # dW[k, f, o] = sum_{b,m} (T_k x)[b, m, f] g[b, m, o]; rematerialize
-    # the basis with the XLA stacked path.
-    from cnn_graph_tpu.ops.filters import cheby_basis
+    # dW[k, f, o] = sum_{b,m} (T_k x)[b, m, f] g[b, m, o]: in-kernel
+    # recompute when the shapes tile (no basis stack in HBM), else the
+    # XLA stacked-basis fallback.
+    if _dw_eligible(F, O):
+        dw = cheby_dw_fused(x, L, g, K, interpret=interpret).astype(w.dtype)
+    else:
+        from cnn_graph_tpu.ops.filters import cheby_basis
 
-    basis = cheby_basis(x, L, w.shape[0])  # [K, B, M, F]
-    dw = jnp.einsum(
-        "kbmf,bmo->kfo", basis.astype(g.dtype), g,
-        preferred_element_type=w.dtype,
-    ).astype(w.dtype)
+        basis = cheby_basis(x, L, K)  # [K, B, M, F]
+        dw = jnp.einsum(
+            "kbmf,bmo->kfo", basis.astype(g.dtype), g,
+            preferred_element_type=w.dtype,
+        ).astype(w.dtype)
     from cnn_graph_tpu.ops.laplacian import zero_cotangent
 
     return dx, zero_cotangent(L), dw
 
 
 cheby_conv_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _dw_kernel(L_ref, x_ref, g_ref, out_ref, ta, tb, *, K, F, cdt):
+    """Recompute the recurrence and emit per-hop tap cotangent factors.
+
+    Per hop k:  P = T_k^T g  ([tc, S*O]),  PA = A^T P  ([F, S*O]) where
+    A[c, f] = (c mod F == f) sums each sample's F-row group; the final
+    fold over samples (and tiles) happens in XLA.
+    """
+    tc = ta.shape[1]
+    so = g_ref.shape[1]
+    O = so * F // tc
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tc, F), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tc, F), 1)
+    A = (rows % F == cols).astype(cdt)
+    # Sample-diagonal mask: row c belongs to sample c//F, column d to
+    # sample d//O; only matching-sample entries contribute to dW.
+    rsamp = jax.lax.broadcasted_iota(jnp.int32, (tc, so), 0) // F
+    csamp = jax.lax.broadcasted_iota(jnp.int32, (tc, so), 1) // O
+    diag_mask = (rsamp == csamp).astype(jnp.float32)
+
+    def emit(k, t_ref):
+        P = jax.lax.dot_general(
+            t_ref[:].astype(cdt), g_ref[:].astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tc, S*O]
+        out_ref[0, k] = jax.lax.dot_general(
+            A, (P * diag_mask).astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [F, S*O]
+
+    ta[:] = x_ref[:]
+    emit(0, ta)
+    if K > 1:
+        tb[:] = jnp.dot(
+            L_ref[:], ta[:].astype(cdt), preferred_element_type=jnp.float32
+        )
+        emit(1, tb)
+    for k in range(2, K):
+        src, dst = (tb, ta) if k % 2 == 0 else (ta, tb)
+        dst[:] = (
+            2.0
+            * jnp.dot(L_ref[:], src[:].astype(cdt),
+                      preferred_element_type=jnp.float32)
+            - dst[:]
+        )
+        emit(k, dst)
+
+
+def cheby_dw_fused(x: jax.Array, L, g: jax.Array, K: int,
+                   col_tile: int = 256, interpret: bool = False) -> jax.Array:
+    """``dW[k, f, o] = sum_{b,m} (T_k x)[b, m, f] g[b, m, o]`` without
+    materializing the basis: the recurrence is recomputed in-kernel and
+    each hop contributes a per-tile factor folded in XLA."""
+    B, M, F = x.shape
+    O = g.shape[2]
+    mp = L.m_padded
+    cdt = L.compute_dtype
+
+    S = max(col_tile // F, 1)
+    tc = S * F
+    bp = -(-B // S) * S
+    n_tiles = bp // S
+
+    xt = jnp.transpose(x, (1, 0, 2)).reshape(M, B * F)
+    xt = jnp.pad(xt, ((0, mp - M), (0, (bp - B) * F)))
+    gt = jnp.transpose(g, (1, 0, 2)).reshape(M, B * O)
+    gt = jnp.pad(gt, ((0, mp - M), (0, (bp - B) * O)))
+
+    parts = pl.pallas_call(
+        functools.partial(_dw_kernel, K=K, F=F, cdt=cdt),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, K, F, S * O), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((mp, mp), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mp, tc), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mp, S * O), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, K, F, S * O),
+                                   lambda j: (j, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((mp, tc), jnp.float32),
+                pltpu.VMEM((mp, tc), jnp.float32),
+            ],
+        ),
+        interpret=interpret,
+    )(L.mat.astype(cdt), xt, gt)
+
+    # Fold samples within tiles and across tiles: [nt, K, F, S, O] -> sum.
+    return parts.reshape(n_tiles, K, F, S, O).sum(axis=(0, 3))
