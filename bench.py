@@ -46,8 +46,11 @@ def _best_spmm_rate(ops_by_fmt, x0, w, iters=200):
     for fmt, op in ops_by_fmt.items():
         from cnn_graph_tpu.ops import cheby_conv
 
+        # The operator and weights are jit ARGUMENTS: closure-captured
+        # arrays become literals embedded in the serialized HLO, which
+        # inflates (remote) compile time with graph size (DESIGN.md §9).
         @jax.jit
-        def chain(x):
+        def chain(op, w, x):
             def body(_, x):
                 y = cheby_conv(x, op, w)
                 # Cheap renorm keeps the carry finite without breaking the
@@ -56,9 +59,9 @@ def _best_spmm_rate(ops_by_fmt, x0, w, iters=200):
 
             return jax.lax.fori_loop(0, iters, body, x)
 
-        chain(x0).block_until_ready()  # compile + warm
+        chain(op, w, x0).block_until_ready()  # compile + warm
         t0 = time.perf_counter()
-        chain(x0).block_until_ready()
+        chain(op, w, x0).block_until_ready()
         dt = time.perf_counter() - t0
         hops = (K - 1) * iters
         results[fmt] = {
@@ -127,8 +130,11 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
                           dtype=jnp.bfloat16)
     X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
 
+    # op is a jit ARGUMENT: closed-over operator arrays become HLO
+    # literals and the serialized module grows with the graph — the
+    # compile-time blowup this bench used to hit (DESIGN.md §9).
     @jax.jit
-    def chain(x):
+    def chain(op, x):
         def body(_, carry):
             x0, x1 = carry
 
@@ -144,9 +150,9 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
 
         return jax.lax.fori_loop(0, outer, body, (x, bsr_spmm(op, x)))[1]
 
-    chain(X).block_until_ready()
+    chain(op, X).block_until_ready()
     t0 = time.perf_counter()
-    chain(X).block_until_ready()
+    chain(op, X).block_until_ready()
     dt = (time.perf_counter() - t0) / (outer * (K - 1))
     nbr = op.m_padded // op.block_shape[0]
     ncb = op.m_padded // op.block_shape[1]

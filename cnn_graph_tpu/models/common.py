@@ -13,6 +13,8 @@ Initializer parity: weights ~ TruncatedNormal(0, 0.1), biases = 0.1
 
 from __future__ import annotations
 
+import copy
+
 import jax
 import jax.numpy as jnp
 
@@ -24,7 +26,37 @@ __all__ = [
     "fc_init",
     "fc_apply",
     "dropout",
+    "graph_arrays",
+    "with_graph_arrays",
 ]
+
+# Model attributes holding device-resident graph data (Laplacian operators,
+# Fourier eigenbases, spline bases).  These must be threaded through jit as
+# ARGUMENTS, not closed over: closure-captured arrays are embedded in the
+# serialized HLO as literals, and the compile payload then grows with the
+# graph (at 10k nodes a closed-over block-sparse operator already inflates
+# the module >5000x; see DESIGN.md §9).
+GRAPH_ARRAY_FIELDS = ("op", "operators", "fourier_u", "_bases")
+
+
+def graph_arrays(model) -> dict:
+    """The model's device-resident graph data as a pytree (for passing as a
+    jit argument).  Pair with :func:`with_graph_arrays` inside the trace."""
+    return {
+        f: getattr(model, f)
+        for f in GRAPH_ARRAY_FIELDS
+        if getattr(model, f, None) is not None
+    }
+
+
+def with_graph_arrays(model, tree: dict):
+    """A shallow copy of ``model`` with its graph-data fields replaced by
+    (possibly traced) ``tree`` leaves.  Models rebuild any internal cells
+    from these fields per call, so a top-level swap propagates."""
+    clone = copy.copy(model)
+    for f, v in tree.items():
+        setattr(clone, f, v)
+    return clone
 
 
 def trunc_normal(key, shape, std: float = 0.1, dtype=jnp.float32) -> jax.Array:

@@ -110,11 +110,20 @@ class Trainer:
 
         model, task = self.model, self.task
 
-        def train_step(params, opt_state, ema, rng, data, labels, idx):
+        # The model's graph data (Laplacian operators, eigenbases) is a jit
+        # ARGUMENT to every device program below: closing over it would
+        # embed the arrays as HLO literals and the compile payload would
+        # grow with the graph (models/common.py:GRAPH_ARRAY_FIELDS).
+        from cnn_graph_tpu.models import common as mcommon
+
+        self._gtree = mcommon.graph_arrays(model)
+
+        def train_step(gtree, params, opt_state, ema, rng, data, labels, idx):
+            m = mcommon.with_graph_arrays(model, gtree)
             x = jnp.take(data, idx, axis=0)
             y = jnp.take(labels, idx, axis=0)
             rng, step_rng = jax.random.split(rng)
-            loss, grads = jax.value_and_grad(model.loss)(
+            loss, grads = jax.value_and_grad(m.loss)(
                 params, x, y, train=True, rng=step_rng
             )
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -124,9 +133,11 @@ class Trainer:
             )
             return params, opt_state, ema, rng, loss
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+        train_step_jit = jax.jit(train_step, donate_argnums=(1, 2, 3, 4))
+        self._train_step = lambda *a: train_step_jit(self._gtree, *a)
 
-        def train_chunk(params, opt_state, ema, rng, data, labels, idx_chunk):
+        def train_chunk(gtree, params, opt_state, ema, rng, data, labels,
+                        idx_chunk):
             """Run idx_chunk.shape[0] steps as ONE device program via
             lax.scan — the host (and, here, the host<->TPU tunnel) stays
             out of the per-step path entirely."""
@@ -134,7 +145,7 @@ class Trainer:
             def body(carry, idx):
                 params, opt_state, ema, rng = carry
                 params, opt_state, ema, rng, loss = train_step(
-                    params, opt_state, ema, rng, data, labels, idx
+                    gtree, params, opt_state, ema, rng, data, labels, idx
                 )
                 return (params, opt_state, ema, rng), loss
 
@@ -143,36 +154,41 @@ class Trainer:
             )
             return params, opt_state, ema, rng, losses
 
-        self._train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1, 2, 3))
+        train_chunk_jit = jax.jit(train_chunk, donate_argnums=(1, 2, 3, 4))
+        self._train_chunk = lambda *a: train_chunk_jit(self._gtree, *a)
 
-        def predict_batch(params, x):
-            out = model.apply(params, x)
+        def predict_batch(gtree, params, x):
+            out = mcommon.with_graph_arrays(model, gtree).apply(params, x)
             if task == "regression":
                 return jax.nn.relu(out)  # graph_model.py:241
             return out  # logits; argmax on host side
 
-        self._predict_batch = jax.jit(predict_batch)
+        predict_batch_jit = jax.jit(predict_batch)
+        self._predict_batch = lambda *a: predict_batch_jit(self._gtree, *a)
 
-        def eval_batch(params, x, y):
-            out = model.apply(params, x)
-            loss = model.loss(params, x, y)
+        def eval_batch(gtree, params, x, y):
+            m = mcommon.with_graph_arrays(model, gtree)
+            out = m.apply(params, x)
+            loss = m.loss(params, x, y)
             return (jax.nn.relu(out) if task == "regression" else out), loss
 
-        self._eval_batch = jax.jit(eval_batch)
+        eval_batch_jit = jax.jit(eval_batch)
+        self._eval_batch = lambda *a: eval_batch_jit(self._gtree, *a)
 
-        def eval_scan(params, data_b, labels_b):
+        def eval_scan(gtree, params, data_b, labels_b):
             """Batched evaluation as one device program: ``data_b`` is
             [nb, B, ...]; returns stacked predictions + per-batch losses."""
 
             def body(_, xy):
                 x, y = xy
-                pred, loss = eval_batch(params, x, y)
+                pred, loss = eval_batch(gtree, params, x, y)
                 return None, (pred, loss)
 
             _, (preds, losses) = jax.lax.scan(body, None, (data_b, labels_b))
             return preds, losses
 
-        self._eval_scan = jax.jit(eval_scan)
+        eval_scan_jit = jax.jit(eval_scan)
+        self._eval_scan = lambda *a: eval_scan_jit(self._gtree, *a)
 
     # ---- high-level API (fit / predict / evaluate) ----
 

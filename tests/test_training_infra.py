@@ -163,3 +163,56 @@ class TestOptimizerVariants:
         # Unlabeled predict path with a partial final batch (17 % 16 != 0).
         preds = tr.predict(x[:17])
         assert preds.shape[0] == 17
+
+
+class TestGraphArraysThreading:
+    """Guard the no-closure-literals rule (DESIGN.md §9): graph data must
+    ride through jit as arguments, so lowered modules stay small."""
+
+    def test_trainer_chunk_hlo_stays_small(self, setup):
+        import jax.numpy as jnp
+
+        from cnn_graph_tpu.models import NodeClassifier
+        from cnn_graph_tpu.models import common as mcommon
+        from cnn_graph_tpu.train import TrainConfig, Trainer
+
+        op = setup
+        model = NodeClassifier(op, input_features=2, num_classes=3,
+                               hidden=[8], K=2)
+        gtree = mcommon.graph_arrays(model)
+        assert "op" in gtree
+
+        def loss_with_args(gtree, params, x):
+            m = mcommon.with_graph_arrays(model, gtree)
+            return jnp.sum(m.apply(params, x))
+
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((op.m_padded, 2))
+        hlo_args = len(jax.jit(loss_with_args).lower(gtree, params, x)
+                       .as_text())
+
+        def loss_closure(params, x):
+            return jnp.sum(model.apply(params, x))
+
+        hlo_closure = len(jax.jit(loss_closure).lower(params, x).as_text())
+        # The operator here is tiny (24 nodes); even so the closure build
+        # embeds it as literals.  At production sizes the gap is >5000x.
+        assert hlo_args < hlo_closure
+
+    def test_with_graph_arrays_swaps_without_mutating(self, setup):
+        from cnn_graph_tpu.models import NodeClassifier
+        from cnn_graph_tpu.models import common as mcommon
+
+        op = setup
+        model = NodeClassifier(op, input_features=2, num_classes=3,
+                               hidden=[8], K=2)
+        gtree = mcommon.graph_arrays(model)
+        scaled = jax.tree.map(lambda a: a * 2 if a.dtype == jnp.float32 else a,
+                              gtree)
+        clone = mcommon.with_graph_arrays(model, scaled)
+        assert clone is not model
+        assert clone.op is not model.op
+        assert model.op is op  # original untouched
+        np.testing.assert_allclose(
+            np.asarray(clone.op.mat), 2 * np.asarray(op.mat)
+        )
