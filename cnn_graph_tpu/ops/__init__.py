@@ -7,10 +7,12 @@ from cnn_graph_tpu.ops.filters import (
     fourier_conv,
 )
 from cnn_graph_tpu.ops.laplacian import (
+    BandedLaplacian,
     BCOOLaplacian,
     BlockSparseLaplacian,
     DenseLaplacian,
     device_laplacian,
+    pack_banded,
     pack_block_sparse,
 )
 from cnn_graph_tpu.ops.pooling import avg_pool, max_pool
@@ -20,10 +22,12 @@ __all__ = [
     "cheby_conv",
     "cheby_weights_from_flat",
     "fourier_conv",
+    "BandedLaplacian",
     "BCOOLaplacian",
     "BlockSparseLaplacian",
     "DenseLaplacian",
     "device_laplacian",
+    "pack_banded",
     "pack_block_sparse",
     "avg_pool",
     "max_pool",

@@ -84,7 +84,9 @@ def cheby_basis(x: jax.Array, L: LaplacianOperator, K: int) -> jax.Array:
     if K > 1:
         basis.append(L.matmul(xt))
     for _ in range(2, K):
-        basis.append(2.0 * L.matmul(basis[-1]) - basis[-2])
+        # cheby_hop fuses the 2*(L@x)-x0 update where the operator has a
+        # kernel for it (BandedLaplacian); elsewhere it's the same math.
+        basis.append(L.cheby_hop(basis[-1], basis[-2]))
 
     stacked = jnp.stack(basis)  # [K, Mp, F*B]
     stacked = stacked[:, :M].reshape(K, M, F, B)

@@ -40,9 +40,11 @@ __all__ = [
     "zero_cotangent",
     "DenseLaplacian",
     "BlockSparseLaplacian",
+    "BandedLaplacian",
     "BCOOLaplacian",
     "device_laplacian",
     "pack_block_sparse",
+    "pack_banded",
 ]
 
 MXU_TILE = 128
@@ -65,13 +67,21 @@ def zero_cotangent(tree):
     return jax.tree.map(zero, tree)
 
 
+class _ChebyHopMixin:
+    """Default Chebyshev recurrence hop ``2 (L @ x1) - x0``; formats with
+    a fused kernel override it (BandedLaplacian)."""
+
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
+        return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["mat"],
     meta_fields=["m", "m_padded", "nnz", "use_fused"],
 )
 @dataclasses.dataclass(frozen=True)
-class DenseLaplacian:
+class DenseLaplacian(_ChebyHopMixin):
     """Rescaled Laplacian as a zero-padded dense matrix.
 
     Storing the matrix in bfloat16 (``device_laplacian(dtype=jnp.bfloat16)``)
@@ -101,7 +111,7 @@ class DenseLaplacian:
     meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas"],
 )
 @dataclasses.dataclass(frozen=True)
-class BlockSparseLaplacian:
+class BlockSparseLaplacian(_ChebyHopMixin):
     """Rescaled Laplacian as dense MXU-tile blocks at nonzero positions.
 
     ``blocks[i]`` is the dense ``br x bc`` tile at block coordinates
@@ -156,11 +166,76 @@ class BlockSparseLaplacian:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
+    data_fields=["band", "base"],
+    meta_fields=["m", "m_padded", "nnz", "block_shape", "ring_slots",
+                 "rows_per_step", "use_pallas"],
+)
+@dataclasses.dataclass(frozen=True)
+class BandedLaplacian(_ChebyHopMixin):
+    """Rescaled Laplacian as a block-BANDED dense band.
+
+    ``band[i, d]`` is the dense ``br x bc`` block at block coordinates
+    ``(i, base[i] + d)``; blocks outside the true sparsity are zero.
+    RCM-ordered kNN/planar graphs pack into narrow bands (W ~ 9-11 blocks
+    at 50k-100k nodes at ~77% fill), which the Pallas sliding-window
+    kernel (ops/pallas_band.py) streams at near the HBM roofline — the
+    general BSR kernel pays a fixed DMA cost per block instead.
+
+    ``base`` is monotone non-decreasing (pack_banded enforces it by
+    suffix-min), which the kernel's fetch bookkeeping relies on.
+    ``ring_slots`` sizes the kernel's x ring buffer
+    (>= W + max step between consecutive bases).
+    """
+
+    band: jax.Array  # [nbr, W, br, bc]
+    base: jax.Array  # [nbr] int32, monotone non-decreasing
+    m: int
+    m_padded: int
+    nnz: int
+    block_shape: tuple
+    ring_slots: int
+    rows_per_step: int  # block-rows per kernel grid step (G)
+    use_pallas: bool
+
+    @property
+    def band_width(self):
+        return self.band.shape[1]
+
+    @property
+    def compute_dtype(self):
+        return self.band.dtype
+
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
+        if self.use_pallas:
+            from cnn_graph_tpu.ops.pallas_band import band_cheby_hop
+
+            return band_cheby_hop(self, x1, x0)
+        return super().cheby_hop(x1, x0)
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """``L @ x`` for ``x`` of shape ``[Mp, C]``."""
+        if self.use_pallas:
+            from cnn_graph_tpu.ops.pallas_band import band_spmm
+
+            return band_spmm(self, x)
+        nbr, W, br, bc = self.band.shape
+        xb = x.reshape(self.m_padded // bc, bc, -1)
+        cols = self.base[:, None] + jnp.arange(W)[None, :]  # [nbr, W]
+        wins = jnp.take(xb, cols, axis=0)  # [nbr, W, bc, C]
+        y = jnp.einsum(
+            "iwab,iwbc->iac", self.band, wins,
+            preferred_element_type=x.dtype,
+        )
+        return y.reshape(x.shape).astype(x.dtype)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
     data_fields=["bcoo"],
     meta_fields=["m", "m_padded", "nnz"],
 )
 @dataclasses.dataclass(frozen=True)
-class BCOOLaplacian:
+class BCOOLaplacian(_ChebyHopMixin):
     """``jax.experimental.sparse`` BCOO fallback (CPU tests, odd shapes)."""
 
     bcoo: Any
@@ -176,7 +251,80 @@ class BCOOLaplacian:
         return self.bcoo @ x
 
 
-LaplacianOperator = DenseLaplacian | BlockSparseLaplacian | BCOOLaplacian
+LaplacianOperator = (
+    DenseLaplacian | BlockSparseLaplacian | BandedLaplacian | BCOOLaplacian
+)
+
+
+def band_stats(L: scipy.sparse.spmatrix,
+               block_shape: tuple = (MXU_TILE, MXU_TILE)):
+    """Band geometry of the block-tiled matrix: per-block-row monotone
+    window bases (suffix-min of the first nonzero block column), the band
+    width W covering every row's span, the ring size the kernel needs,
+    and the number of occupied blocks (for the banded-vs-BSR cost call).
+    """
+    br, bc = block_shape
+    m = L.shape[0]
+    mp = _round_up(m, int(np.lcm(br, bc)))
+    n_rb = mp // br
+    n_cb = mp // bc
+    coo = L.tocoo()
+    brow = coo.row // br
+    bcol = coo.col // bc
+    n_blocks = len(np.unique(brow.astype(np.int64) * n_cb + bcol))
+
+    lo = np.full(n_rb, n_cb, np.int64)  # empty rows pass through suffix-min
+    hi = np.full(n_rb, -1, np.int64)
+    np.minimum.at(lo, brow, bcol)
+    np.maximum.at(hi, brow, bcol)
+
+    base = np.minimum.accumulate(lo[::-1])[::-1]  # suffix min: monotone, <= lo
+    W = min(int(max((hi - base).max() + 1, 1)), n_cb)
+    base = np.clip(base, 0, n_cb - W).astype(np.int32)
+    assert np.all(base >= 0) and np.all(base[brow] <= bcol)
+    assert np.all(bcol < base[brow] + W)
+    return base, W, n_blocks, mp
+
+
+def pack_banded(L: scipy.sparse.spmatrix,
+                block_shape: tuple = (MXU_TILE, MXU_TILE),
+                max_band_width: int = 48,
+                rows_per_step: int | None = None):
+    """Pack a block-banded sparse matrix into a dense band
+    ``[n_row_blocks, W, br, bc]`` with monotone window bases.
+
+    ``rows_per_step`` (G) is the kernel's per-grid-step row batch; the
+    row count is padded to a multiple of it (zero band rows, base held at
+    its last value).  Returns ``(band, base, ring, G, m_padded)``.
+    Raises ``ValueError`` when the band would exceed ``max_band_width``
+    blocks (a scattered ordering — use BSR, or RCM-reorder first).
+    """
+    from cnn_graph_tpu.ops.pallas_band import ROWS_PER_STEP, ring_span
+
+    br, bc = block_shape
+    base, W, _, mp = band_stats(L, block_shape)
+    if W > max_band_width:
+        raise ValueError(
+            f"band width {W} blocks exceeds {max_band_width}; "
+            "RCM-reorder the graph or use fmt='bsr'"
+        )
+    G = rows_per_step or min(ROWS_PER_STEP, len(base))
+    # Pad rows so the grid is whole super-steps (and keep bc | mp for the
+    # column reshape).  Padded band rows are zero; base holds its last
+    # value, keeping monotonicity and column bounds.
+    mp = _round_up(mp, int(np.lcm(G * br, bc)))
+    n_rb = mp // br
+    base = np.concatenate(
+        [base, np.full(n_rb - len(base), base[-1], np.int32)]
+    )
+    ring = ring_span(base, W, G)
+    band = np.zeros((n_rb, W, br, bc), np.float32)
+    coo = L.tocoo()
+    brow = coo.row // br
+    band[brow, coo.col // bc - base[brow], coo.row % br, coo.col % bc] = (
+        coo.data
+    )
+    return band, base, ring, G, mp
 
 
 def choose_block_shape(
@@ -251,6 +399,7 @@ def device_laplacian(
     rescale: bool = True,
     use_pallas: bool | None = None,
     dense_threshold: int = 2048,
+    rows_per_step: int | None = None,
 ) -> LaplacianOperator:
     """Build a device operator for the (rescaled) Laplacian.
 
@@ -270,7 +419,25 @@ def device_laplacian(
     nnz = int(L.nnz)
 
     if fmt == "auto":
-        fmt = "dense" if m <= dense_threshold else "bsr"
+        if m <= dense_threshold:
+            fmt = "dense"
+        else:
+            # Banded beats BSR when the band is narrow and reasonably
+            # full: the sliding-window kernel removes the fixed per-block
+            # DMA cost (dominant at production sizes, DESIGN.md §10) at
+            # the price of computing the zero blocks inside the band.
+            if block_size == "auto" or (
+                isinstance(block_size, int) and block_size == MXU_TILE
+            ):
+                base, W, n_blocks, _ = band_stats(L)
+                n_rb = len(base)
+                fmt = (
+                    "banded"
+                    if W <= 32 and n_rb * W <= 3 * n_blocks
+                    else "bsr"
+                )
+            else:
+                fmt = "bsr"
 
     if fmt == "dense":
         mp = _round_up(m, 8)
@@ -283,6 +450,31 @@ def device_laplacian(
         return DenseLaplacian(
             mat=jnp.asarray(dense, dtype=dtype), m=m, m_padded=mp, nnz=nnz,
             use_fused=bool(use_pallas),
+        )
+
+    if fmt == "banded":
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        block_shape = (
+            (MXU_TILE, MXU_TILE)
+            if block_size == "auto"
+            else (block_size, block_size)
+            if isinstance(block_size, int)
+            else tuple(block_size)
+        )
+        band, base, ring, G, mp = pack_banded(
+            L, block_shape, rows_per_step=rows_per_step
+        )
+        return BandedLaplacian(
+            band=jnp.asarray(band, dtype=dtype),
+            base=jnp.asarray(base),
+            m=m,
+            m_padded=mp,
+            nnz=nnz,
+            block_shape=block_shape,
+            ring_slots=ring,
+            rows_per_step=G,
+            use_pallas=use_pallas,
         )
 
     if fmt == "bsr":

@@ -1,0 +1,278 @@
+"""Pallas TPU kernel: banded block SpMM with a sliding x-window.
+
+For RCM-ordered planar/kNN graphs (the humanflow domain) the 128-tiled
+Laplacian is block-BANDED: each block-row's nonzero blocks span a short,
+monotonically advancing column window (measured: span <= 9 blocks at 50k
+nodes, <= 11 at 100k; bases monotone).  The general BSR kernel
+(ops/pallas_spmm.py) pays a fixed ~230ns DMA overhead per 128x128 block,
+which dominates at these shapes (~3x off the HBM roofline).  This kernel
+exploits the band structure instead:
+
+* blocks are stored band-dense ``[nbr, W, br, bc]``; each grid step
+  processes ``G = rows_per_step`` consecutive block-rows, whose band
+  slab ``[G, W, br, bc]`` arrives in ONE contiguous DMA — measured
+  per-grid-step costs on v5e are ~0.7us of pipeline floor plus ~1us of
+  scalar DMA bookkeeping, so amortizing them over G rows is what moves
+  the kernel from ~30% to near the compute/HBM roofline;
+* x column-blocks live in a VMEM ring buffer ``[R, bc, tc]`` and are
+  DMA'd exactly ONCE per column stripe — the window advances
+  monotonically with the band base, so x traffic is O(M*C), not
+  O(nnz-blocks*C);
+* each block-row contributes W dense (br x bc)@(bc x tc) MXU taps, which
+  run at the MXU's peak rate (measured: 9 taps cost exactly 9x one tap).
+
+Fetch/wait bookkeeping needs no kernel state: with monotone bases the
+column high-water mark after super-step ``s`` is
+``hi(s) = base[min((s+1)G-1, last)] + W``, all derived from the
+scalar-prefetched ``base`` array.
+
+Grid: (column-tiles, row-super-steps), row loop innermost (TPU grids
+execute sequentially, so the ring persists across steps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["band_spmm", "band_cheby_hop", "PREFETCH_AHEAD", "ROWS_PER_STEP"]
+
+PREFETCH_AHEAD = 1  # super-steps of DMA lookahead (NB = PA + 1 band slabs
+# in VMEM); one super-step ahead is G block-rows of in-flight transfers.
+ROWS_PER_STEP = 4  # default G: block-rows per grid step
+_NB = PREFETCH_AHEAD + 1
+
+
+def ring_span(base, W: int, G: int, pa: int = PREFETCH_AHEAD) -> int:
+    """Ring slots needed so no started-but-live column collides: the max
+    over super-steps of (columns started by end of step s) - (oldest
+    column still in use at step s).  Host-side, exact."""
+    import numpy as np
+
+    nbr = len(base)
+    nsb = -(-nbr // G)
+    base = np.asarray(base, np.int64)
+    pad = np.full(nsb * G - nbr, base[-1], np.int64)
+    b = np.concatenate([base, pad])
+    last = nsb - 1
+    hi = b[np.minimum((np.arange(nsb) + 1) * G - 1, nsb * G - 1)] + W
+    started = hi[np.minimum(np.arange(nsb) + pa, last)]
+    in_use = b[np.arange(nsb) * G]
+    return int((started - in_use).max()) + 1
+
+
+def _kernel(base_ref, band_ref, x_ref, *rest,
+            W, br, bc, tc, R, G, hop):
+    # rest is (x0_ref, y_ref, scratch...) for the fused Chebyshev hop
+    # (y = 2 L@x - x0) or (y_ref, scratch...) for the plain SpMM.
+    if hop:
+        x0_ref, y_ref, bandbuf, xring, bsem, xsem = rest
+    else:
+        y_ref, bandbuf, xring, bsem, xsem = rest
+        x0_ref = None
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    nsb = pl.num_programs(1)
+    PA = PREFETCH_AHEAD
+    last = nsb - 1
+
+    def band_dma(step, slot):
+        return pltpu.make_async_copy(
+            band_ref.at[pl.ds(step * G, G)], bandbuf.at[slot], bsem.at[slot]
+        )
+
+    def x_dma(col):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(col * bc, bc), pl.ds(j * tc, tc)],
+            xring.at[jax.lax.rem(col, R)],
+            xsem.at[jax.lax.rem(col, R)],
+        )
+
+    def start_cols(lo, hi):
+        def start_col(c, _):
+            x_dma(c).start()
+            return 0
+
+        jax.lax.fori_loop(lo, hi, start_col, 0)
+
+    def wait_cols(lo, hi):
+        def wait_col(c, _):
+            x_dma(c).wait()
+            return 0
+
+        jax.lax.fori_loop(lo, hi, wait_col, 0)
+
+    def hi(t):
+        """Column high-water mark after super-step t (t is clamped)."""
+        return base_ref[jnp.minimum((t + 1) * G - 1, nsb * G - 1)] + W
+
+    # Invariant: entering step s, band slabs [0, s+PA) and x-columns
+    # [0, hi(min(s+PA-1, last))) have been started; slabs [0, s) and
+    # columns [0, hi(s-1)) have been waited.  All bounds derive from the
+    # scalar-prefetched monotone ``base``; the kernel keeps no state.
+
+    base_s = base_ref[s * G]
+
+    # Stripe warm-up: fill the pipeline PA super-steps deep.
+    @pl.when(s == 0)
+    def _():
+        for t in range(min(PA, nsb)):  # nsb is static
+            band_dma(t, t % _NB).start()
+        start_cols(base_s, hi(jnp.minimum(PA - 1, last)))
+
+    # Per-step prefetch: slab s+PA and its newly entering x-columns.
+    @pl.when(s + PA < nsb)
+    def _():
+        band_dma(s + PA, jax.lax.rem(s + PA, _NB)).start()
+    start_cols(hi(jnp.minimum(s + PA - 1, last)),
+               hi(jnp.minimum(s + PA, last)))
+
+    # Wait for this step's band slab and newly needed x-columns.
+    slot = jax.lax.rem(s, _NB)
+    band_dma(s, slot).wait()
+
+    @pl.when(s == 0)
+    def _():
+        wait_cols(base_s, hi(0))
+
+    @pl.when(s > 0)
+    def _():
+        wait_cols(hi(s - 1), hi(s))
+
+    # G block-rows x W dense MXU taps against the ring window.
+    for g in range(G):
+        base_g = base_ref[s * G + g]
+        acc = jnp.zeros((br, tc), jnp.float32)
+        for d in range(W):
+            acc += jnp.dot(
+                bandbuf[slot, g, d],
+                xring[jax.lax.rem(base_g + d, R)],
+                preferred_element_type=jnp.float32,
+            )
+        if hop:
+            # Fused Chebyshev recurrence update: saves the separate XLA
+            # elementwise pass (3 full-activation HBM transfers per hop).
+            acc = 2.0 * acc - x0_ref[g * br:(g + 1) * br, :].astype(
+                jnp.float32
+            )
+        y_ref[g * br:(g + 1) * br, :] = acc.astype(y_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def band_spmm(L, x: jax.Array, col_tile: int = 512,
+              interpret: bool = False) -> jax.Array:
+    """``L @ x`` for a BandedLaplacian (ops/laplacian.py).
+
+    ``x``: [Mp, C]; C is padded to a multiple of the column tile.
+    Differentiable via the symmetric-adjoint custom VJP (``dx = L @ g``);
+    the operator is a differentiable argument with zero cotangents.
+    """
+    return _band_spmm_impl(L, x, col_tile, interpret)
+
+
+def _band_fwd(L, x, col_tile, interpret):
+    return _band_spmm_impl(L, x, col_tile, interpret), L
+
+
+def _band_bwd(col_tile, interpret, L, g):
+    from cnn_graph_tpu.ops.laplacian import zero_cotangent
+
+    return zero_cotangent(L), _band_spmm_impl(L, g, col_tile, interpret)
+
+
+def _band_call(L, x, x0, col_tile, interpret):
+    nbr, W, br, bc = L.band.shape
+    mp = L.m_padded
+    R = L.ring_slots
+    G = L.rows_per_step
+    assert nbr % G == 0, (nbr, G)
+    C = x.shape[1]
+    tc = min(col_tile, max(128, -(-C // 128) * 128))
+    cp = -(-C // tc) * tc
+    if cp != C:
+        x = jnp.pad(x, ((0, 0), (0, cp - C)))
+        if x0 is not None:
+            x0 = jnp.pad(x0, ((0, 0), (0, cp - C)))
+    hop = x0 is not None
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # band stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+    ]
+    if hop:
+        # x0 blocks align with y blocks; Pallas pipelines them in.
+        in_specs.append(pl.BlockSpec(
+            (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
+        ))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cp // tc, nbr // G),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_NB, G, W, br, bc), L.band.dtype),  # band slabs
+            pltpu.VMEM((R, bc, tc), x.dtype),               # x column ring
+            pltpu.SemaphoreType.DMA((_NB,)),
+            pltpu.SemaphoreType.DMA((R,)),
+        ],
+    )
+
+    operands = (L.base, L.band, x) + ((x0,) if hop else ())
+    y = pl.pallas_call(
+        functools.partial(_kernel, W=W, br=br, bc=bc, tc=tc, R=R, G=G,
+                          hop=hop),
+        out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * W * br * bc * cp,
+            bytes_accessed=(
+                L.band.size * L.band.dtype.itemsize * (cp // tc)
+                + (3 if hop else 2) * mp * cp * x.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(*operands)
+    return y[:, :C]
+
+
+def _band_spmm_impl(L, x: jax.Array, col_tile: int = 512,
+                    interpret: bool = False) -> jax.Array:
+    return _band_call(L, x, None, col_tile, interpret)
+
+
+band_spmm.defvjp(_band_fwd, _band_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def band_cheby_hop(L, x1: jax.Array, x0: jax.Array, col_tile: int = 512,
+                   interpret: bool = False) -> jax.Array:
+    """Fused Chebyshev recurrence hop ``y = 2 (L @ x1) - x0``.
+
+    One kernel pass instead of SpMM + XLA elementwise: at 50k nodes /
+    C=512 the separate update costs three extra full-activation HBM
+    transfers per hop.  Symmetric-adjoint VJP: ``dx1 = 2 L g``,
+    ``dx0 = -g``.
+    """
+    return _band_call(L, x1, x0, col_tile, interpret)
+
+
+def _hop_fwd(L, x1, x0, col_tile, interpret):
+    return _band_call(L, x1, x0, col_tile, interpret), L
+
+
+def _hop_bwd(col_tile, interpret, L, g):
+    from cnn_graph_tpu.ops.laplacian import zero_cotangent
+
+    dx1 = 2.0 * _band_spmm_impl(L, g, col_tile, interpret)
+    return zero_cotangent(L), dx1, -g
+
+
+band_cheby_hop.defvjp(_hop_fwd, _hop_bwd)

@@ -71,6 +71,10 @@ class HaloShardedLaplacian:
     def compute_dtype(self):
         return self.mat_ext.dtype
 
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
+        """Chebyshev recurrence hop (filters.cheby_basis protocol)."""
+        return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
+
     def matmul(self, x: jax.Array) -> jax.Array:
         """``L @ x`` for ``x`` [Mp, C] sharded P('nodes', None)."""
         n = self.mesh.shape["nodes"]

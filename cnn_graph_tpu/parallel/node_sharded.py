@@ -57,6 +57,10 @@ class NodeShardedLaplacian:
     def compute_dtype(self):
         return self.mat.dtype
 
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
+        """Chebyshev recurrence hop (filters.cheby_basis protocol)."""
+        return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
+
     def matmul(self, x: jax.Array) -> jax.Array:
         def local_matmul(L_rows, x_local):
             x_full = jax.lax.all_gather(

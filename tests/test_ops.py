@@ -51,8 +51,11 @@ class TestLaplacianOperator:
         _, L, _ = small_graph
         op = device_laplacian(L, fmt="auto")
         assert type(op).__name__ == "DenseLaplacian"  # 60 nodes -> dense
+        # Above the dense threshold auto prefers the banded format when
+        # the block band is narrow (always true for a tiny graph); the
+        # scattered-graph BSR fallback is tested in test_pallas_band.py.
         op2 = device_laplacian(L, fmt="auto", dense_threshold=10)
-        assert type(op2).__name__ == "BlockSparseLaplacian"
+        assert type(op2).__name__ == "BandedLaplacian"
 
 
 class TestChebyConv:
