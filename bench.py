@@ -153,7 +153,9 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
 
             def hop(_, c):
                 a, b = c
-                return b, 2.0 * op.matmul(b) - a
+                # cheby_hop fuses the recurrence update into the banded
+                # kernel (one pass instead of SpMM + XLA elementwise).
+                return b, op.cheby_hop(b, a)
 
             a, b = jax.lax.fori_loop(0, K - 1, hop, (x0, x1))
             scale = jax.lax.rsqrt(

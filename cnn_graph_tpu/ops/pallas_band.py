@@ -43,7 +43,8 @@ __all__ = ["band_spmm", "band_cheby_hop", "PREFETCH_AHEAD", "ROWS_PER_STEP"]
 
 PREFETCH_AHEAD = 1  # super-steps of DMA lookahead (NB = PA + 1 band slabs
 # in VMEM); one super-step ahead is G block-rows of in-flight transfers.
-ROWS_PER_STEP = 4  # default G: block-rows per grid step
+ROWS_PER_STEP = 8  # max default G: block-rows per grid step (the
+# VMEM-budget rule in laplacian.pack_banded picks the largest G <= this)
 _NB = PREFETCH_AHEAD + 1
 
 
