@@ -7,10 +7,12 @@ Primary metric (BASELINE.json): edge traversals/s/chip through the K=25
 Chebyshev recurrence on the MNIST 28x28 8-NN grid graph (976 padded nodes,
 ~7.7k directed edges), feature width 32, batch 100 — measured as a
 device-resident ``lax.fori_loop`` so host dispatch (here: a network tunnel)
-is out of the timed path.  ``vs_baseline`` is the measured rate over a
-1 Gedge/s anchor — a strong single-GPU rate for
-``tf.sparse_tensor_dense_matmul`` on graphs of this class (the reference's
-actual K40 would be slower; the repo publishes no numbers, BASELINE.md).
+is out of the timed path.  ``vs_baseline`` is the measured rate over the
+single-GPU HBM ROOFLINE for the reference's
+``tf.sparse_tensor_dense_matmul`` at the same feature width (2*C*4
+bytes/edge), granting the reference an A100-80GB (2.0 TB/s) — far above
+its actual K40, whose roofline is also reported in details
+(the repo publishes no numbers of its own, BASELINE.md).
 
 Also measured: full ChebNet K=25 train-step time in the same config, and
 the implied MNIST epoch time (55k samples / batch 100 = 550 steps).
@@ -125,18 +127,11 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
     import jax
     import jax.numpy as jnp
 
-    from cnn_graph_tpu.graphs import construction as gc
+    from cnn_graph_tpu.data.synthetic import city_graph
     from cnn_graph_tpu.ops import device_laplacian
 
     rng = np.random.default_rng(0)
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    z = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32)
-    z += rng.normal(0, 0.3, z.shape).astype(np.float32)
-    dist, idx = gc.knn(z, k=8, algorithm="auto")
-    W = gc.adjacency(dist, idx)
-    perm = gc.bandwidth_reducing_permutation(W)
-    W = W[perm][:, perm].tocsr()
-    L = gc.laplacian(W, normalized=True)
+    L, _ = city_graph(side, k=8, seed=0)
     op = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
     X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
 

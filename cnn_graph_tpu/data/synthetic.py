@@ -15,7 +15,7 @@ import numpy as np
 
 from cnn_graph_tpu.graphs import coarsening, construction
 
-__all__ = ["community_classification", "synthetic_flow"]
+__all__ = ["community_classification", "synthetic_flow", "city_graph"]
 
 
 def community_classification(
@@ -84,3 +84,28 @@ def synthetic_flow(
     edges = np.triu(edges * (rng.random((n_nodes, n_nodes)) < 0.15), k=1)
     edge_matrix = edges + edges.T
     return in_matrix, out_matrix, edge_matrix
+
+
+def city_graph(side: int, k: int = 8, seed: int = 0, jitter: float = 0.3,
+               normalized: bool = True):
+    """Planar city-like graph: a jittered ``side x side`` grid, k-NN
+    adjacency, RCM-ordered (bandable), normalized Laplacian.
+
+    The shared recipe behind the production-scale benchmark and the
+    kernel diagnostics (bench.py, experiments/_compile_probe.py) — one
+    definition so they always measure the same graph.  Returns
+    ``(L, positions)`` with positions in RCM order.
+    """
+    import numpy as np
+
+    from cnn_graph_tpu.graphs import construction as gc
+
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    z = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32)
+    z += rng.normal(0, jitter, z.shape).astype(np.float32)
+    dist, idx = gc.knn(z, k=k, algorithm="auto")
+    W = gc.adjacency(dist, idx)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm].tocsr()
+    return gc.laplacian(W, normalized=normalized), z[perm]

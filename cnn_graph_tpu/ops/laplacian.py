@@ -38,6 +38,7 @@ from cnn_graph_tpu.graphs.construction import rescale_laplacian
 
 __all__ = [
     "zero_cotangent",
+    "ChebyHopMixin",
     "DenseLaplacian",
     "BlockSparseLaplacian",
     "BandedLaplacian",
@@ -67,9 +68,10 @@ def zero_cotangent(tree):
     return jax.tree.map(zero, tree)
 
 
-class _ChebyHopMixin:
+class ChebyHopMixin:
     """Default Chebyshev recurrence hop ``2 (L @ x1) - x0``; formats with
-    a fused kernel override it (BandedLaplacian)."""
+    a fused kernel override it (BandedLaplacian).  Shared by the sharded
+    operators in cnn_graph_tpu/parallel as well."""
 
     def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
         return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
@@ -81,7 +83,7 @@ class _ChebyHopMixin:
     meta_fields=["m", "m_padded", "nnz", "use_fused"],
 )
 @dataclasses.dataclass(frozen=True)
-class DenseLaplacian(_ChebyHopMixin):
+class DenseLaplacian(ChebyHopMixin):
     """Rescaled Laplacian as a zero-padded dense matrix.
 
     Storing the matrix in bfloat16 (``device_laplacian(dtype=jnp.bfloat16)``)
@@ -111,7 +113,7 @@ class DenseLaplacian(_ChebyHopMixin):
     meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas"],
 )
 @dataclasses.dataclass(frozen=True)
-class BlockSparseLaplacian(_ChebyHopMixin):
+class BlockSparseLaplacian(ChebyHopMixin):
     """Rescaled Laplacian as dense MXU-tile blocks at nonzero positions.
 
     ``blocks[i]`` is the dense ``br x bc`` tile at block coordinates
@@ -171,7 +173,7 @@ class BlockSparseLaplacian(_ChebyHopMixin):
                  "rows_per_step", "use_pallas"],
 )
 @dataclasses.dataclass(frozen=True)
-class BandedLaplacian(_ChebyHopMixin):
+class BandedLaplacian(ChebyHopMixin):
     """Rescaled Laplacian as a block-BANDED dense band.
 
     ``band[i, d]`` is the dense ``br x bc`` block at block coordinates
@@ -235,7 +237,7 @@ class BandedLaplacian(_ChebyHopMixin):
     meta_fields=["m", "m_padded", "nnz"],
 )
 @dataclasses.dataclass(frozen=True)
-class BCOOLaplacian(_ChebyHopMixin):
+class BCOOLaplacian(ChebyHopMixin):
     """``jax.experimental.sparse`` BCOO fallback (CPU tests, odd shapes)."""
 
     bcoo: Any
@@ -290,7 +292,8 @@ def pack_banded(L: scipy.sparse.spmatrix,
                 block_shape: tuple = (MXU_TILE, MXU_TILE),
                 max_band_width: int = 48,
                 rows_per_step: int | None = None,
-                elem_bytes: int = 2):
+                elem_bytes: int = 2,
+                stats: tuple | None = None):
     """Pack a block-banded sparse matrix into a dense band
     ``[n_row_blocks, W, br, bc]`` with monotone window bases.
 
@@ -306,16 +309,42 @@ def pack_banded(L: scipy.sparse.spmatrix,
     from cnn_graph_tpu.ops.pallas_band import ROWS_PER_STEP, ring_span
 
     br, bc = block_shape
-    base, W, _, mp = band_stats(L, block_shape)
+    base, W, _, mp = stats if stats is not None else band_stats(
+        L, block_shape
+    )
     if W > max_band_width:
         raise ValueError(
             f"band width {W} blocks exceeds {max_band_width}; "
             "RCM-reorder the graph or use fmt='bsr'"
         )
     if rows_per_step is None:
-        per_row = 2 * W * br * bc * elem_bytes  # double-buffered band slab
-        G = min(max(int(6 * 2**20) // per_row, 1), ROWS_PER_STEP,
-                len(base))
+        # Largest G whose FULL kernel VMEM footprint fits the budget:
+        # double-buffered band slabs + x ring (tc=512 worst case) +
+        # Pallas's double-buffered y / x0 pipeline blocks, all in the
+        # operator's element size.  ~16MB VMEM/core on v5e; leave slack
+        # for Mosaic temporaries.
+        tc_est = 512
+        budget = 11 * 2**20
+
+        def vmem_est(g):
+            return (
+                2 * g * W * br * bc * elem_bytes           # band slabs
+                + ring_span(base, W, g) * bc * tc_est * elem_bytes
+                + 4 * g * br * tc_est * elem_bytes         # y + x0 blocks
+            )
+
+        G = 1
+        for g in range(min(ROWS_PER_STEP, len(base)), 0, -1):
+            if vmem_est(g) <= budget:
+                G = g
+                break
+        else:
+            raise ValueError(
+                f"banded kernel VMEM footprint {vmem_est(1) >> 20}MB "
+                f"exceeds the budget even at G=1 (W={W}, "
+                f"elem_bytes={elem_bytes}); use fmt='bsr' or a narrower "
+                "ordering"
+            )
     else:
         G = rows_per_step
     # Pad rows so the grid is whole super-steps (and keep bc | mp for the
@@ -427,6 +456,7 @@ def device_laplacian(
     m = L.shape[0]
     nnz = int(L.nnz)
 
+    _stats = None
     if fmt == "auto":
         if m <= dense_threshold:
             fmt = "dense"
@@ -438,7 +468,8 @@ def device_laplacian(
             if block_size == "auto" or (
                 isinstance(block_size, int) and block_size == MXU_TILE
             ):
-                base, W, n_blocks, _ = band_stats(L)
+                _stats = band_stats(L)
+                base, W, n_blocks, _ = _stats
                 n_rb = len(base)
                 fmt = (
                     "banded"
@@ -474,6 +505,7 @@ def device_laplacian(
         band, base, ring, G, mp = pack_banded(
             L, block_shape, rows_per_step=rows_per_step,
             elem_bytes=jnp.dtype(dtype).itemsize,
+            stats=_stats,
         )
         return BandedLaplacian(
             band=jnp.asarray(band, dtype=dtype),

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse
+
+from cnn_graph_tpu.ops.laplacian import ChebyHopMixin
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_graph_tpu.graphs.construction import rescale_laplacian
@@ -47,7 +49,7 @@ __all__ = [
     meta_fields=["mesh", "m", "m_padded", "nnz", "halo", "rows_per_shard"],
 )
 @dataclasses.dataclass(frozen=True)
-class HaloShardedLaplacian:
+class HaloShardedLaplacian(ChebyHopMixin):
     """Row-sharded Laplacian whose local blocks reference
     ``[local rows | halo slots]`` columns.
 
@@ -70,10 +72,6 @@ class HaloShardedLaplacian:
     @property
     def compute_dtype(self):
         return self.mat_ext.dtype
-
-    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
-        """Chebyshev recurrence hop (filters.cheby_basis protocol)."""
-        return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
 
     def matmul(self, x: jax.Array) -> jax.Array:
         """``L @ x`` for ``x`` [Mp, C] sharded P('nodes', None)."""

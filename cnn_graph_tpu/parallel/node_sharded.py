@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse
+
+from cnn_graph_tpu.ops.laplacian import ChebyHopMixin
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_graph_tpu.graphs.construction import rescale_laplacian
@@ -40,7 +42,7 @@ __all__ = ["NodeShardedLaplacian", "node_sharded_laplacian"]
     meta_fields=["mesh", "m", "m_padded", "nnz"],
 )
 @dataclasses.dataclass(frozen=True)
-class NodeShardedLaplacian:
+class NodeShardedLaplacian(ChebyHopMixin):
     """Rescaled Laplacian, rows sharded over the mesh's ``nodes`` axis.
 
     Drop-in for the single-chip operators in ops/laplacian.py: exposes the
@@ -56,10 +58,6 @@ class NodeShardedLaplacian:
     @property
     def compute_dtype(self):
         return self.mat.dtype
-
-    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
-        """Chebyshev recurrence hop (filters.cheby_basis protocol)."""
-        return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
 
     def matmul(self, x: jax.Array) -> jax.Array:
         def local_matmul(L_rows, x_local):

@@ -28,7 +28,7 @@ import scipy.sparse
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_graph_tpu.graphs.construction import rescale_laplacian
-from cnn_graph_tpu.ops.laplacian import pack_block_sparse
+from cnn_graph_tpu.ops.laplacian import ChebyHopMixin, pack_block_sparse
 from cnn_graph_tpu.parallel.halo import build_halo_plan, halo_exchange_columns
 
 __all__ = ["SparseHaloLaplacian", "sparse_halo_laplacian"]
@@ -41,7 +41,7 @@ __all__ = ["SparseHaloLaplacian", "sparse_halo_laplacian"]
                  "block_shape", "ext_cols_padded"],
 )
 @dataclasses.dataclass(frozen=True)
-class SparseHaloLaplacian:
+class SparseHaloLaplacian(ChebyHopMixin):
     """Row-sharded block-sparse Laplacian with halo exchange.
 
     Leading axis of every data field is the shard axis (sharded
@@ -65,10 +65,6 @@ class SparseHaloLaplacian:
     @property
     def compute_dtype(self):
         return self.blocks.dtype
-
-    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
-        """Chebyshev recurrence hop (filters.cheby_basis protocol)."""
-        return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
 
     def matmul(self, x: jax.Array) -> jax.Array:
         """``L @ x`` for ``x`` [Mp, C] sharded P('nodes', None).

@@ -190,6 +190,17 @@ class Trainer:
         eval_scan_jit = jax.jit(eval_scan)
         self._eval_scan = lambda *a: eval_scan_jit(self._gtree, *a)
 
+        # The raw jitted programs (gtree-first signatures), exposed for
+        # introspection — tests lower these to assert the no-closure-
+        # literals rule holds for the ACTUAL trainer programs.
+        self._jitted = {
+            "train_step": train_step_jit,
+            "train_chunk": train_chunk_jit,
+            "predict_batch": predict_batch_jit,
+            "eval_batch": eval_batch_jit,
+            "eval_scan": eval_scan_jit,
+        }
+
     # ---- high-level API (fit / predict / evaluate) ----
 
     def fit(self, train_data, train_labels, val_data, val_labels,

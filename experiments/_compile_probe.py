@@ -26,7 +26,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from cnn_graph_tpu.graphs import construction as gc
+    from cnn_graph_tpu.data.synthetic import city_graph
     from cnn_graph_tpu.ops import device_laplacian
 
     K, C, outer = 25, 512, 4
@@ -36,14 +36,7 @@ def main():
                                   else "224,316").split(",")]:
         t0 = time.time()
         rng = np.random.default_rng(0)
-        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-        z = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float32)
-        z += rng.normal(0, 0.3, z.shape).astype(np.float32)
-        dist, idx = gc.knn(z, k=8, algorithm="auto")
-        W = gc.adjacency(dist, idx)
-        perm = gc.bandwidth_reducing_permutation(W)
-        W = W[perm][:, perm].tocsr()
-        L = gc.laplacian(W, normalized=True)
+        L, _ = city_graph(side, k=8, seed=0)
         t_host = time.time() - t0
         print(f"side={side} host={t_host:.1f}s", flush=True)
         for f in fmts:

@@ -169,35 +169,41 @@ class TestGraphArraysThreading:
     """Guard the no-closure-literals rule (DESIGN.md §9): graph data must
     ride through jit as arguments, so lowered modules stay small."""
 
-    def test_trainer_chunk_hlo_stays_small(self, setup):
+    def test_trainer_chunk_hlo_stays_small(self):
+        """Lower the Trainer's ACTUAL train_chunk program over a multi-
+        thousand-node operator: if the model (and its operator arrays)
+        were ever closed over again instead of threaded as the gtree
+        argument, the lowered module would embed megabytes of literals
+        (DESIGN.md §9) and this bound would blow past by >100x."""
         import jax.numpy as jnp
 
-        from cnn_graph_tpu.models import NodeClassifier
-        from cnn_graph_tpu.models import common as mcommon
+        from cnn_graph_tpu.models import ResGNN
         from cnn_graph_tpu.train import TrainConfig, Trainer
 
-        op = setup
-        model = NodeClassifier(op, input_features=2, num_classes=3,
-                               hidden=[8], K=2)
-        gtree = mcommon.graph_arrays(model)
-        assert "op" in gtree
-
-        def loss_with_args(gtree, params, x):
-            m = mcommon.with_graph_arrays(model, gtree)
-            return jnp.sum(m.apply(params, x))
+        rng = np.random.default_rng(0)
+        z = rng.uniform(size=(3000, 2)).astype(np.float32)
+        W = gc.knn_graph(z, k=4)
+        L = gc.laplacian(W, normalized=True)
+        op = device_laplacian(L, fmt="bsr", block_size=128,
+                              use_pallas=False)  # ~several MB of blocks
+        model = ResGNN(op, input_features=2, K=2, nfilter=4,
+                       nres_layer_count=1)
+        trainer = Trainer(model, TrainConfig(batch_size=4), "regression")
 
         params = model.init(jax.random.PRNGKey(0))
-        x = jnp.zeros((op.m_padded, 2))
-        hlo_args = len(jax.jit(loss_with_args).lower(gtree, params, x)
-                       .as_text())
-
-        def loss_closure(params, x):
-            return jnp.sum(model.apply(params, x))
-
-        hlo_closure = len(jax.jit(loss_closure).lower(params, x).as_text())
-        # The operator here is tiny (24 nodes); even so the closure build
-        # embeds it as literals.  At production sizes the gap is >5000x.
-        assert hlo_args < hlo_closure
+        opt_state = trainer.optimizer.init(params)
+        mp = op.m_padded
+        lowered = trainer._jitted["train_chunk"].lower(
+            trainer._gtree, params, opt_state, jnp.float32(-1.0),
+            jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct((16, mp, 2), jnp.float32),
+            jax.ShapeDtypeStruct((16, mp, 2), jnp.float32),
+            jax.ShapeDtypeStruct((3, 4), jnp.int32),
+        )
+        size = len(lowered.as_text())
+        blocks_bytes = op.blocks.size * 4
+        assert blocks_bytes > 1_000_000  # the guard is only meaningful
+        assert size < 500_000, f"train_chunk HLO is {size} bytes"
 
     def test_with_graph_arrays_swaps_without_mutating(self, setup):
         from cnn_graph_tpu.models import NodeClassifier
