@@ -288,6 +288,35 @@ def band_stats(L: scipy.sparse.spmatrix,
     return base, W, n_blocks, mp
 
 
+def auto_rows_per_step(base, W: int, br: int, bc: int,
+                       elem_bytes: int) -> int:
+    """Largest G whose FULL banded-kernel VMEM footprint fits a budget:
+    double-buffered band slabs + x ring (tc=512 worst case) + Pallas's
+    double-buffered y / x0 pipeline blocks, in the operator's element
+    size.  ~16MB VMEM/core on v5e; slack is left for Mosaic temporaries.
+    Raises when even G=1 cannot fit."""
+    from cnn_graph_tpu.ops.pallas_band import ROWS_PER_STEP, ring_span
+
+    tc_est = 512
+    budget = 11 * 2**20
+
+    def vmem_est(g):
+        return (
+            2 * g * W * br * bc * elem_bytes           # band slabs
+            + ring_span(base, W, g) * bc * tc_est * elem_bytes
+            + 4 * g * br * tc_est * elem_bytes         # y + x0 blocks
+        )
+
+    for g in range(min(ROWS_PER_STEP, len(base)), 0, -1):
+        if vmem_est(g) <= budget:
+            return g
+    raise ValueError(
+        f"banded kernel VMEM footprint {vmem_est(1) >> 20}MB exceeds the "
+        f"budget even at G=1 (W={W}, elem_bytes={elem_bytes}); use "
+        "fmt='bsr' or a narrower ordering"
+    )
+
+
 def pack_banded(L: scipy.sparse.spmatrix,
                 block_shape: tuple = (MXU_TILE, MXU_TILE),
                 max_band_width: int = 48,
@@ -318,33 +347,7 @@ def pack_banded(L: scipy.sparse.spmatrix,
             "RCM-reorder the graph or use fmt='bsr'"
         )
     if rows_per_step is None:
-        # Largest G whose FULL kernel VMEM footprint fits the budget:
-        # double-buffered band slabs + x ring (tc=512 worst case) +
-        # Pallas's double-buffered y / x0 pipeline blocks, all in the
-        # operator's element size.  ~16MB VMEM/core on v5e; leave slack
-        # for Mosaic temporaries.
-        tc_est = 512
-        budget = 11 * 2**20
-
-        def vmem_est(g):
-            return (
-                2 * g * W * br * bc * elem_bytes           # band slabs
-                + ring_span(base, W, g) * bc * tc_est * elem_bytes
-                + 4 * g * br * tc_est * elem_bytes         # y + x0 blocks
-            )
-
-        G = 1
-        for g in range(min(ROWS_PER_STEP, len(base)), 0, -1):
-            if vmem_est(g) <= budget:
-                G = g
-                break
-        else:
-            raise ValueError(
-                f"banded kernel VMEM footprint {vmem_est(1) >> 20}MB "
-                f"exceeds the budget even at G=1 (W={W}, "
-                f"elem_bytes={elem_bytes}); use fmt='bsr' or a narrower "
-                "ordering"
-            )
+        G = auto_rows_per_step(base, W, br, bc, elem_bytes)
     else:
         G = rows_per_step
     # Pad rows so the grid is whole super-steps (and keep bc | mp for the

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["band_spmm", "band_cheby_hop", "PREFETCH_AHEAD", "ROWS_PER_STEP"]
+__all__ = ["band_spmm", "band_cheby_hop", "banded_call",
+           "PREFETCH_AHEAD", "ROWS_PER_STEP"]
 
 PREFETCH_AHEAD = 1  # super-steps of DMA lookahead (NB = PA + 1 band slabs
 # in VMEM); one super-step ahead is G block-rows of in-flight transfers.
@@ -186,10 +187,25 @@ def _band_bwd(col_tile, interpret, L, g):
 
 
 def _band_call(L, x, x0, col_tile, interpret):
-    nbr, W, br, bc = L.band.shape
-    mp = L.m_padded
-    R = L.ring_slots
-    G = L.rows_per_step
+    return banded_call(L.band, L.base, x, x0, ring=L.ring_slots,
+                       G=L.rows_per_step, out_rows=L.m_padded,
+                       col_tile=col_tile, interpret=interpret)
+
+
+def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
+                col_tile: int = 512, interpret: bool = False):
+    """Raw banded SpMM / fused-hop kernel call on explicit fields.
+
+    ``x`` may have MORE rows than ``out_rows`` (extended-column use: the
+    sharded halo operator feeds ``[left halo | local | right halo]``
+    activations while producing only the local rows); ``base`` indexes
+    x's block rows directly.  No custom VJP here — the L-level wrappers
+    (band_spmm / band_cheby_hop) and the sharded operators define their
+    own adjoints.
+    """
+    nbr, W, br, bc = band.shape
+    mp = out_rows
+    R = ring
     assert nbr % G == 0, (nbr, G)
     C = x.shape[1]
     tc = min(col_tile, max(128, -(-C // 128) * 128))
@@ -218,14 +234,14 @@ def _band_call(L, x, x0, col_tile, interpret):
             (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_NB, G, W, br, bc), L.band.dtype),  # band slabs
+            pltpu.VMEM((_NB, G, W, br, bc), band.dtype),    # band slabs
             pltpu.VMEM((R, bc, tc), x.dtype),               # x column ring
             pltpu.SemaphoreType.DMA((_NB,)),
             pltpu.SemaphoreType.DMA((R,)),
         ],
     )
 
-    operands = (L.base, L.band, x) + ((x0,) if hop else ())
+    operands = (base, band, x) + ((x0,) if hop else ())
     y = pl.pallas_call(
         functools.partial(_kernel, W=W, br=br, bc=bc, tc=tc, R=R, G=G,
                           hop=hop),
@@ -235,7 +251,7 @@ def _band_call(L, x, x0, col_tile, interpret):
         cost_estimate=pl.CostEstimate(
             flops=2 * nbr * W * br * bc * cp,
             bytes_accessed=(
-                L.band.size * L.band.dtype.itemsize * (cp // tc)
+                band.size * band.dtype.itemsize * (cp // tc)
                 + (3 if hop else 2) * mp * cp * x.dtype.itemsize
             ),
             transcendentals=0,

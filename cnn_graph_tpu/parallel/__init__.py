@@ -1,5 +1,9 @@
 """Multi-chip parallelism: meshes, shardings, node-partitioned operators."""
 
+from cnn_graph_tpu.parallel.banded_halo import (
+    BandedHaloLaplacian,
+    banded_halo_laplacian,
+)
 from cnn_graph_tpu.parallel.halo import (
     HaloShardedLaplacian,
     build_halo_plan,
@@ -17,6 +21,8 @@ from cnn_graph_tpu.parallel.node_sharded import (
 
 __all__ = [
     "P",
+    "BandedHaloLaplacian",
+    "banded_halo_laplacian",
     "data_sharding",
     "make_mesh",
     "replicated",

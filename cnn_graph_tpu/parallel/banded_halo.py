@@ -1,0 +1,306 @@
+"""Banded halo-exchange operator: row-sharded banded SpMM whose
+communication is two neighbor ``ppermute`` shifts on the ICI ring.
+
+The block-banded structure that makes the single-chip kernel fast
+(ops/pallas_band.py) also collapses the multi-chip exchange problem:
+after RCM ordering, shard ``s``'s band only references x rows owned by
+shards ``s-1`` and ``s+1`` (a contiguous tail/head of each).  So instead
+of the general all_to_all exchange plan (parallel/halo.py,
+parallel/sparse_halo.py), each Chebyshev hop moves exactly
+
+    left halo  = last  h_l block-rows of the LEFT  neighbor  (shift +1)
+    right halo = first h_r block-rows of the RIGHT neighbor  (shift -1)
+
+— two ``lax.ppermute`` calls whose pattern maps 1:1 onto the TPU ICI
+ring (SURVEY.md §2.3's "lay out shardings so collectives ride ICI").
+Edge shards receive zeros from the unpaired side, which their band never
+references (their windows are interior by construction).
+
+Per shard the compute is the banded Pallas kernel itself
+(ops.pallas_band.banded_call) on the extended activations
+``[left | local | right]`` — same fused Chebyshev hop, same sliding
+x-window; the halo blocks simply extend the window space.  On CPU (and
+under the driver's virtual mesh) the XLA gather/einsum fallback runs the
+identical math.
+
+Reference parity note: the reference has no distributed execution at all
+(SURVEY.md §2.3); this operator is part of the framework's TPU-native
+scaling layer alongside NodeSharded (all-gather), HaloSharded (dense
+all_to_all) and SparseHalo (block-sparse all_to_all).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cnn_graph_tpu.graphs.construction import rescale_laplacian
+from cnn_graph_tpu.ops.laplacian import (
+    ChebyHopMixin,
+    auto_rows_per_step,
+    band_stats,
+    zero_cotangent,
+)
+
+__all__ = ["BandedHaloLaplacian", "banded_halo_laplacian"]
+
+MXU_TILE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["band", "base"],
+    meta_fields=["mesh", "m", "m_padded", "nnz", "halo_left", "halo_right",
+                 "rows_per_shard", "block_shape", "ring_slots",
+                 "rows_per_step", "use_pallas"],
+)
+@dataclasses.dataclass(frozen=True)
+class BandedHaloLaplacian(ChebyHopMixin):
+    """Row-sharded banded Laplacian with neighbor-ring halo exchange.
+
+    ``band``: [n, nbr_s, W, br, bc] (sharded P('nodes')); ``base``:
+    [n, nbr_s] block-column window bases INTO THE EXTENDED column space
+    ``[left halo | local | right halo]`` of each shard (monotone per
+    shard, as the kernel requires).
+    """
+
+    band: jax.Array
+    base: jax.Array
+    mesh: Mesh
+    m: int
+    m_padded: int
+    nnz: int
+    halo_left: int    # block-rows received from the left neighbor
+    halo_right: int   # block-rows received from the right neighbor
+    rows_per_shard: int
+    block_shape: tuple
+    ring_slots: int
+    rows_per_step: int
+    use_pallas: bool
+
+    @property
+    def compute_dtype(self):
+        return self.band.dtype
+
+    @property
+    def band_width(self):
+        return self.band.shape[2]
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """``L @ x`` for ``x`` [Mp, C] sharded P('nodes', None)."""
+        return _banded_halo_matmul(self, x)
+
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
+        """Fused recurrence hop ``2 (L @ x1) - x0`` (one kernel pass per
+        shard; x0 is row-aligned with the output so it rides the same
+        sharding)."""
+        return _banded_halo_hop(self, x1, x0)
+
+    # ---- shard-local implementation ----
+
+    def _exchange(self, x_local):
+        """Extended activations [left | local | right] via two neighbor
+        ppermutes; unpaired edge shards receive zeros (their band never
+        reads that region)."""
+        n = self.mesh.shape["nodes"]
+        bc = self.block_shape[1]
+        parts = []
+        if self.halo_left:
+            tail = x_local[-self.halo_left * bc:]
+            parts.append(
+                jax.lax.ppermute(tail, "nodes",
+                                 [(i, i + 1) for i in range(n - 1)])
+            )
+        parts.append(x_local)
+        if self.halo_right:
+            head = x_local[: self.halo_right * bc]
+            parts.append(
+                jax.lax.ppermute(head, "nodes",
+                                 [(i + 1, i) for i in range(n - 1)])
+            )
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x_local
+
+    def _apply_impl(self, x: jax.Array, x0: jax.Array | None) -> jax.Array:
+        ms = self.rows_per_shard
+
+        def local(band, base, *xs):
+            band, base = band[0], base[0]
+            x_local = xs[0]
+            x0_local = xs[1] if len(xs) > 1 else None
+            x_ext = self._exchange(x_local)
+            if self.use_pallas:
+                from cnn_graph_tpu.ops.pallas_band import banded_call
+
+                return banded_call(
+                    band, base, x_ext, x0_local, ring=self.ring_slots,
+                    G=self.rows_per_step, out_rows=ms,
+                ).astype(x_local.dtype)
+            nbr_s, W, br, bc = band.shape
+            xb = x_ext.reshape(-1, bc, x_ext.shape[1])
+            cols = base[:, None] + jnp.arange(W)[None, :]
+            wins = jnp.take(xb, cols, axis=0)  # [nbr_s, W, bc, C]
+            y = jnp.einsum(
+                "iwab,iwbc->iac", band.astype(x_local.dtype), wins,
+                preferred_element_type=x_local.dtype,
+            ).reshape(ms, -1)
+            if x0_local is not None:
+                y = 2.0 * y - x0_local
+            return y.astype(x_local.dtype)
+
+        operands = (self.band, self.base, x) + (
+            (x0,) if x0 is not None else ()
+        )
+        in_specs = (P("nodes"), P("nodes"), P("nodes", None)) + (
+            (P("nodes", None),) if x0 is not None else ()
+        )
+        # Fully-manual shard_map, like parallel/sparse_halo.py: the
+        # whole-graph node models carry no batch dimension here.
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=P("nodes", None),
+            axis_names=set(self.mesh.axis_names),
+            check_vma=False,
+        )(*operands)
+
+
+@jax.custom_vjp
+def _banded_halo_matmul(op, x):
+    return op._apply_impl(x, None)
+
+
+def _bhm_fwd(op, x):
+    return op._apply_impl(x, None), op
+
+
+def _bhm_bwd(op, g):
+    # Global L is symmetric -> dx = L @ g, which is this same sharded
+    # operator applied to the (identically sharded) cotangent.
+    return zero_cotangent(op), op._apply_impl(g, None)
+
+
+_banded_halo_matmul.defvjp(_bhm_fwd, _bhm_bwd)
+
+
+@jax.custom_vjp
+def _banded_halo_hop(op, x1, x0):
+    return op._apply_impl(x1, x0)
+
+
+def _bhh_fwd(op, x1, x0):
+    return op._apply_impl(x1, x0), op
+
+
+def _bhh_bwd(op, g):
+    dx1 = 2.0 * op._apply_impl(g, None)
+    return zero_cotangent(op), dx1.astype(g.dtype), -g
+
+
+_banded_halo_hop.defvjp(_bhh_fwd, _bhh_bwd)
+
+
+def banded_halo_laplacian(
+    L: scipy.sparse.spmatrix,
+    mesh: Mesh,
+    lmax: float = 2.0,
+    rescale: bool = True,
+    dtype=jnp.float32,
+    rows_per_step: int | None = None,
+    use_pallas: bool | None = None,
+    max_band_width: int = 48,
+) -> BandedHaloLaplacian:
+    """Build the row-sharded banded operator over ``mesh``'s 'nodes' axis.
+
+    Requires an RCM-bandable matrix whose halo fits within ONE neighbor
+    shard on each side (true for planar/kNN city graphs once shards hold
+    more block-rows than the band is wide); raises otherwise — fall back
+    to ``sparse_halo_laplacian`` for scattered or tiny-shard cases.
+    """
+    if rescale:
+        L = rescale_laplacian(L, lmax=lmax)
+    L = L.tocsr()
+    L.eliminate_zeros()
+    m = L.shape[0]
+    nnz = int(L.nnz)
+    n = mesh.shape["nodes"]
+    br = bc = MXU_TILE
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+
+    base, W, _, mp = band_stats(L, (br, bc))
+    if W > max_band_width:
+        raise ValueError(
+            f"band width {W} blocks exceeds {max_band_width}; "
+            "RCM-reorder the graph or use sparse_halo_laplacian"
+        )
+    if rows_per_step is None:
+        G = auto_rows_per_step(base, W, br, bc, jnp.dtype(dtype).itemsize)
+    else:
+        G = rows_per_step
+
+    # Pad rows so every shard holds the same whole number of super-steps.
+    mp = _round_up(mp, int(np.lcm(n * G * br, bc)))
+    nbr = mp // br
+    nbr_s = nbr // n
+    base = np.concatenate(
+        [base, np.full(nbr - len(base), base[-1], np.int32)]
+    )
+
+    # Per-shard halo extents (uniform so every shard runs one program).
+    starts = np.arange(n) * nbr_s
+    ends = starts + nbr_s - 1
+    h_l = int(np.max(starts - base[starts]))
+    h_r = int(np.max(np.maximum(base[ends] + W - (ends + 1), 0)))
+    if h_l > nbr_s or h_r > nbr_s:
+        raise ValueError(
+            f"halo ({h_l} left / {h_r} right block-rows) exceeds the "
+            f"{nbr_s} block-rows per shard — too many shards for this "
+            "band; use fewer shards or sparse_halo_laplacian"
+        )
+
+    # Window bases into each shard's extended column space.
+    shard_of_row = np.repeat(np.arange(n), nbr_s)
+    base_local = (base - shard_of_row * nbr_s + h_l).astype(np.int32)
+    base_local = base_local.reshape(n, nbr_s)
+    assert np.all(base_local >= 0)
+    assert np.all(base_local + W <= nbr_s + h_l + h_r)
+
+    # Build the global band once, then slab it per shard.
+    band = np.zeros((nbr, W, br, bc), np.float32)
+    coo = L.tocoo()
+    brow = coo.row // br
+    band[brow, coo.col // bc - base[brow], coo.row % br, coo.col % bc] = (
+        coo.data
+    )
+    band = band.reshape(n, nbr_s, W, br, bc)
+
+    from cnn_graph_tpu.ops.pallas_band import ring_span
+
+    ring = max(ring_span(base_local[s], W, G) for s in range(n))
+
+    return BandedHaloLaplacian(
+        band=jnp.asarray(band, dtype=dtype),
+        base=jnp.asarray(base_local),
+        mesh=mesh,
+        m=m,
+        m_padded=mp,
+        nnz=nnz,
+        halo_left=h_l,
+        halo_right=h_r,
+        rows_per_shard=nbr_s * br,
+        block_shape=(br, bc),
+        ring_slots=ring,
+        rows_per_step=G,
+        use_pallas=use_pallas,
+    )

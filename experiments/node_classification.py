@@ -66,6 +66,10 @@ def main():
     p.add_argument("--train-frac", type=float, default=0.1)
     p.add_argument("--mesh-nodes", type=int, default=0,
                    help=">0: edge-partition over a (data=1, nodes=N) mesh")
+    p.add_argument("--halo", choices=["sparse", "banded"], default="banded",
+                   help="sharded operator: banded ring-ppermute halo "
+                        "(RCM city graphs) or general block-sparse "
+                        "all_to_all halo")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -75,7 +79,11 @@ def main():
     import optax
     from cnn_graph_tpu.models import NodeClassifier
     from cnn_graph_tpu.ops import device_laplacian
-    from cnn_graph_tpu.parallel import make_mesh, sparse_halo_laplacian
+    from cnn_graph_tpu.parallel import (
+        banded_halo_laplacian,
+        make_mesh,
+        sparse_halo_laplacian,
+    )
 
     t0 = time.time()
     L, feats, labels = build_graph(args.nodes, args.classes, args.features,
@@ -87,9 +95,15 @@ def main():
     if args.mesh_nodes > 0:
         mesh = make_mesh(data=jax.device_count() // args.mesh_nodes,
                          nodes=args.mesh_nodes)
-        op = sparse_halo_laplacian(L, mesh)
-        print(f"sparse-halo operator: {op.blocks.shape[1]} blocks/shard, "
-              f"halo {op.halo} rows/peer, mesh {dict(mesh.shape)}")
+        if args.halo == "banded":
+            op = banded_halo_laplacian(L, mesh)
+            print(f"banded-halo operator: band {tuple(op.band.shape[1:])} "
+                  f"/shard, halo {op.halo_left}+{op.halo_right} block-rows "
+                  f"via ring ppermute, mesh {dict(mesh.shape)}")
+        else:
+            op = sparse_halo_laplacian(L, mesh)
+            print(f"sparse-halo operator: {op.blocks.shape[1]} blocks/shard, "
+                  f"halo {op.halo} rows/peer, mesh {dict(mesh.shape)}")
     else:
         op = device_laplacian(L, fmt="auto")
         print(f"operator: {type(op).__name__}")
