@@ -166,6 +166,9 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
     t0 = time.perf_counter()
     jax.device_get(chain(op, X))
     dt = (time.perf_counter() - t0) / (outer * (K - 1))
+
+    from cnn_graph_tpu.utils.profiling import spmm_roofline
+
     return {
         "us_per_spmm": round(dt * 1e6, 1),
         "edges_per_s": round(op.nnz / dt / 1e9, 4),
@@ -173,6 +176,7 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
         "nnz": int(op.nnz),
         "format": type(op).__name__,
         "dtype": "bfloat16",
+        "roofline": spmm_roofline(op, dt, C),
         "config": "planar 50k-node city graph, 8-NN, RCM, K=25 recurrence",
     }
 

@@ -12,7 +12,7 @@ import time
 
 import jax
 
-__all__ = ["StepTimer", "trace"]
+__all__ = ["StepTimer", "trace", "spmm_roofline"]
 
 
 class StepTimer:
@@ -48,3 +48,62 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# TPU v5e single-chip peaks (per chip; the roofline model of
+# jax-ml.github.io/scaling-book): HBM bandwidth and MXU rates.
+V5E_HBM_BYTES_PER_S = 819e9
+V5E_FLOPS = {"bfloat16": 197e12, "float32": 49e12}
+
+
+def spmm_roofline(op, seconds_per_spmm: float, feature_width: int,
+                  hbm_bw: float = V5E_HBM_BYTES_PER_S,
+                  flops_per_s: dict = V5E_FLOPS) -> dict:
+    """Roofline report for one Laplacian SpMM through ``op``.
+
+    Computes the kernel's minimum HBM traffic (operator storage + one
+    activation read + one write at ``feature_width`` columns) and its
+    MXU work (including zero-block padding for tiled formats), and
+    reports the achieved fraction of whichever bound is tighter —
+    the per-kernel "speed-of-light" check SURVEY.md §5 calls for.
+    """
+    import numpy as np
+
+    e = np.dtype(op.compute_dtype).itemsize
+    C = feature_width
+    mp = op.m_padded
+
+    if hasattr(op, "band"):  # banded
+        nbr, W, br, bc = op.band.shape
+        op_bytes = op.band.size * e
+        flops = 2 * nbr * W * br * bc * C
+    elif hasattr(op, "blocks"):  # block-sparse
+        nb, br, bc = op.blocks.shape
+        op_bytes = op.blocks.size * e
+        # BSR re-reads one x tile per block.
+        flops = 2 * nb * br * bc * C
+    elif hasattr(op, "mat"):  # dense
+        op_bytes = op.mat.size * e
+        flops = 2 * mp * mp * C
+    else:
+        raise ValueError(f"no roofline model for {type(op).__name__}")
+
+    act_bytes = 2 * mp * C * e  # x read + y write
+    bytes_total = op_bytes + act_bytes
+    key = str(np.dtype(op.compute_dtype))
+    t_hbm = bytes_total / hbm_bw
+    t_mxu = flops / flops_per_s.get(key, flops_per_s["float32"])
+    bound = "hbm" if t_hbm >= t_mxu else "mxu"
+    t_sol = max(t_hbm, t_mxu)
+    return {
+        "bytes": int(bytes_total),
+        "flops": int(flops),
+        "t_hbm_us": round(t_hbm * 1e6, 1),
+        "t_mxu_us": round(t_mxu * 1e6, 1),
+        "bound": bound,
+        "sol_us": round(t_sol * 1e6, 1),
+        "achieved_frac_of_sol": round(t_sol / seconds_per_spmm, 3),
+        "useful_edge_flops_frac": round(
+            2 * op.nnz * C / flops, 3
+        ),
+    }

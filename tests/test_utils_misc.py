@@ -106,3 +106,36 @@ class TestMetricsLoggerParams:
         lines = [json.loads(l) for l in open(path)]
         assert any(l.get("event") == "params" and l["K"] == 25 for l in lines)
         assert lg.scalars["loss"] == [(1, 0.5)]
+
+
+class TestRoofline:
+    def test_spmm_roofline_banded(self):
+        from cnn_graph_tpu.data.synthetic import city_graph
+        from cnn_graph_tpu.ops import device_laplacian
+        from cnn_graph_tpu.utils.profiling import spmm_roofline
+
+        L, _ = city_graph(20, k=6, seed=0)
+        op = device_laplacian(L, fmt="banded", use_pallas=False)
+        r = spmm_roofline(op, seconds_per_spmm=1e-3, feature_width=512)
+        assert r["bound"] in ("hbm", "mxu")
+        assert 0 < r["achieved_frac_of_sol"] <= 1.5
+        assert 0 < r["useful_edge_flops_frac"] <= 1.0
+        # The measured 50k-node config: 780us vs its bound must land
+        # in a sane fraction (regression-guards the formula, not the hw).
+        assert r["sol_us"] < 1e3
+
+    def test_spmm_roofline_dense_and_bsr(self):
+        import numpy as np
+
+        from cnn_graph_tpu.graphs import construction as gc
+        from cnn_graph_tpu.ops import device_laplacian
+        from cnn_graph_tpu.utils.profiling import spmm_roofline
+
+        rng = np.random.default_rng(0)
+        z = rng.uniform(size=(300, 2)).astype(np.float32)
+        W = gc.knn_graph(z, k=4)
+        L = gc.laplacian(W, normalized=True)
+        for fmt in ("dense", "bsr"):
+            op = device_laplacian(L, fmt=fmt, use_pallas=False)
+            r = spmm_roofline(op, 1e-4, 128)
+            assert r["flops"] > 0 and r["bytes"] > 0
