@@ -83,6 +83,30 @@ class GConvForecaster:
         lstm_keep_prob: float = 0.8,
     ):
         assert variant in FORECAST_VARIANTS, variant
+        # Validate the window layout up front (otherwise mismatches only
+        # surface as reshape errors deep inside apply): the full-window
+        # gLSTM variants fold ALL channels over Tc steps, the split
+        # variant needs exactly two closeness-sized windows, and the
+        # period-expand variants need all three timescales present.
+        c_all = 2 * (seq_closeness + seq_period + seq_trend)
+        if variant in ("glstm", "glstm_period_no_expand", "glstm_gconv",
+                       "glstm_gconv_no_expand"):
+            assert c_all % seq_closeness == 0, (
+                f"variant {variant!r} folds all {c_all} channels over "
+                f"seq_closeness={seq_closeness} steps; the total window "
+                "must be divisible by it"
+            )
+        if variant == "glstm_gconv_split":
+            assert c_all == 4 * seq_closeness, (
+                f"variant 'glstm_gconv_split' needs two closeness-sized "
+                f"windows (4*seq_closeness={4 * seq_closeness} channels), "
+                f"got {c_all}"
+            )
+        if "period_expand" in variant:
+            assert seq_period > 0 and seq_trend > 0, (
+                f"variant {variant!r} fuses closeness/period/trend "
+                "branches; seq_period and seq_trend must be > 0"
+            )
         self.op = operator
         self.Tc, self.Tp, self.Tt = seq_closeness, seq_period, seq_trend
         self.variant = variant

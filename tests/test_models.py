@@ -320,3 +320,36 @@ class TestResGNNFourier:
         out = model.apply(params, jnp.ones((2, 40, 6)))
         assert out.shape == (2, 40, 2)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestForecasterWindowValidation:
+    """Mismatched variant/window configs must fail at construction with a
+    clear message, not as a reshape error deep inside apply."""
+
+    def _op(self):
+        rng = np.random.default_rng(0)
+        z = rng.uniform(size=(24, 2)).astype(np.float32)
+        W = gc.knn_graph(z, k=4)
+        return device_laplacian(gc.laplacian(W, normalized=True),
+                                fmt="dense")
+
+    def test_full_window_glstm_rejects_indivisible(self):
+        from cnn_graph_tpu.models import GConvForecaster
+
+        with pytest.raises(AssertionError, match="divisible"):
+            GConvForecaster(self._op(), seq_closeness=3, seq_period=1,
+                            seq_trend=1, variant="glstm")
+
+    def test_split_variant_rejects_wrong_total(self):
+        from cnn_graph_tpu.models import GConvForecaster
+
+        with pytest.raises(AssertionError, match="closeness-sized"):
+            GConvForecaster(self._op(), seq_closeness=3, seq_period=2,
+                            seq_trend=2, variant="glstm_gconv_split")
+
+    def test_period_expand_rejects_missing_timescales(self):
+        from cnn_graph_tpu.models import GConvForecaster
+
+        with pytest.raises(AssertionError, match="period"):
+            GConvForecaster(self._op(), seq_closeness=4,
+                            variant="glstm_period_expand")
