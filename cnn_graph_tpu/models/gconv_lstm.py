@@ -86,23 +86,29 @@ class GConvLSTMCell:
         return fourier_conv(x, self.fourier_u, w)
 
     def step(self, params, carry, x):
-        """One timestep: ``carry = (c, h)``, ``x``: [B, M, feat_in]."""
+        """One timestep: ``carry = (c, h)``, ``x``: [B, M, feat_in].
+
+        The four gates are computed by ONE wide filter pass per operand
+        (weights concatenated along the output-feature axis at trace
+        time): the graph filter's Chebyshev basis — the expensive part —
+        is built once for ``x`` and once for ``h`` instead of four times
+        each, and the program is 8 convs -> 2 (the reference runs 8
+        separate filters per step, gconv_lstm.py:185-207).  Parameters
+        stay per-gate, so checkpoints and init are unchanged.
+        """
         c, h = carry
+        H = self.num_units
+        fout_axis = -1 if self.filter_type == "cheby_conv" else 1
+        wx = jnp.concatenate([params[f"W{g}x"] for g in _GATES], fout_axis)
+        wh = jnp.concatenate([params[f"W{g}h"] for g in _GATES], fout_axis)
+        b = jnp.concatenate([params[f"b{g}"] for g in _GATES], -1)
 
-        def gate(g, act):
-            pre = (
-                self._filter(x, params[f"W{g}x"])
-                + self._filter(h, params[f"W{g}h"])
-                + params[f"b{g}"]
-            )
-            return act(pre)
-
-        z = gate("z", jnp.tanh)
-        i = gate("i", jax.nn.sigmoid)
-        f = gate(
-            "f", lambda p: jax.nn.sigmoid(p + self.forget_bias)
-        )  # forget bias folded pre-activation (standard LSTM form)
-        o = gate("o", jax.nn.sigmoid)
+        pre = self._filter(x, wx) + self._filter(h, wh) + b
+        z = jnp.tanh(pre[..., :H])
+        i = jax.nn.sigmoid(pre[..., H:2 * H])
+        # forget bias folded pre-activation (standard LSTM form)
+        f = jax.nn.sigmoid(pre[..., 2 * H:3 * H] + self.forget_bias)
+        o = jax.nn.sigmoid(pre[..., 3 * H:])
 
         new_c = f * c + i * z
         new_h = o * jnp.tanh(new_c)
