@@ -1,4 +1,4 @@
-"""Compile-time probe: big-graph BSR chain with operator as jit argument.
+"""Compile/steady-state probe: big-graph Chebyshev chains per format.
 
 Measures, per graph size: host precompute, trace+lower, compile, first
 execute, steady-state — to pin down where the remote-compile time goes.
