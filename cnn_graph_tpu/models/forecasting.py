@@ -88,6 +88,7 @@ class GConvForecaster:
         # gLSTM variants fold ALL channels over Tc steps, the split
         # variant needs exactly two closeness-sized windows, and the
         # period-expand variants need all three timescales present.
+        assert seq_closeness >= 1, "seq_closeness must be >= 1"
         c_all = 2 * (seq_closeness + seq_period + seq_trend)
         if variant in ("glstm", "glstm_period_no_expand", "glstm_gconv",
                        "glstm_gconv_no_expand"):

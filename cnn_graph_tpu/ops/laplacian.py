@@ -322,7 +322,8 @@ def pack_banded(L: scipy.sparse.spmatrix,
                 max_band_width: int = 48,
                 rows_per_step: int | None = None,
                 elem_bytes: int = 2,
-                stats: tuple | None = None):
+                stats: tuple | None = None,
+                row_multiple: int | None = None):
     """Pack a block-banded sparse matrix into a dense band
     ``[n_row_blocks, W, br, bc]`` with monotone window bases.
 
@@ -352,8 +353,10 @@ def pack_banded(L: scipy.sparse.spmatrix,
         G = rows_per_step
     # Pad rows so the grid is whole super-steps (and keep bc | mp for the
     # column reshape).  Padded band rows are zero; base holds its last
-    # value, keeping monotonicity and column bounds.
-    mp = _round_up(mp, int(np.lcm(G * br, bc)))
+    # value, keeping monotonicity and column bounds.  ``row_multiple``
+    # overrides the row rounding (the sharded banded-halo packer needs
+    # n_shards * G block-rows per multiple).
+    mp = _round_up(mp, int(np.lcm((row_multiple or G) * br, bc)))
     n_rb = mp // br
     base = np.concatenate(
         [base, np.full(n_rb - len(base), base[-1], np.int32)]

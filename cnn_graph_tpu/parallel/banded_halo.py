@@ -38,13 +38,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_graph_tpu.graphs.construction import rescale_laplacian
 from cnn_graph_tpu.ops.laplacian import (
     ChebyHopMixin,
     auto_rows_per_step,
     band_stats,
+    pack_banded,
     zero_cotangent,
 )
 
@@ -113,17 +114,17 @@ class BandedHaloLaplacian(ChebyHopMixin):
         ppermutes; unpaired edge shards receive zeros (their band never
         reads that region)."""
         n = self.mesh.shape["nodes"]
-        bc = self.block_shape[1]
+        br = self.block_shape[0]  # halo extents are block-ROWS of x
         parts = []
         if self.halo_left:
-            tail = x_local[-self.halo_left * bc:]
+            tail = x_local[-self.halo_left * br:]
             parts.append(
                 jax.lax.ppermute(tail, "nodes",
                                  [(i, i + 1) for i in range(n - 1)])
             )
         parts.append(x_local)
         if self.halo_right:
-            head = x_local[: self.halo_right * bc]
+            head = x_local[: self.halo_right * br]
             parts.append(
                 jax.lax.ppermute(head, "nodes",
                                  [(i + 1, i) for i in range(n - 1)])
@@ -238,24 +239,26 @@ def banded_halo_laplacian(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
 
-    base, W, _, mp = band_stats(L, (br, bc))
+    stats = band_stats(L, (br, bc))
+    base0, W, _, _ = stats
     if W > max_band_width:
         raise ValueError(
             f"band width {W} blocks exceeds {max_band_width}; "
             "RCM-reorder the graph or use sparse_halo_laplacian"
         )
     if rows_per_step is None:
-        G = auto_rows_per_step(base, W, br, bc, jnp.dtype(dtype).itemsize)
+        G = auto_rows_per_step(base0, W, br, bc, jnp.dtype(dtype).itemsize)
     else:
         G = rows_per_step
 
-    # Pad rows so every shard holds the same whole number of super-steps.
-    mp = _round_up(mp, int(np.lcm(n * G * br, bc)))
+    # One packing path with the single-chip format: rows padded so every
+    # shard holds the same whole number of super-steps.
+    band, base, _, _, mp = pack_banded(
+        L, (br, bc), max_band_width=max_band_width, rows_per_step=G,
+        stats=stats, row_multiple=n * G,
+    )
     nbr = mp // br
     nbr_s = nbr // n
-    base = np.concatenate(
-        [base, np.full(nbr - len(base), base[-1], np.int32)]
-    )
 
     # Per-shard halo extents (uniform so every shard runs one program).
     starts = np.arange(n) * nbr_s
@@ -276,22 +279,19 @@ def banded_halo_laplacian(
     assert np.all(base_local >= 0)
     assert np.all(base_local + W <= nbr_s + h_l + h_r)
 
-    # Build the global band once, then slab it per shard.
-    band = np.zeros((nbr, W, br, bc), np.float32)
-    coo = L.tocoo()
-    brow = coo.row // br
-    band[brow, coo.col // bc - base[brow], coo.row % br, coo.col % bc] = (
-        coo.data
-    )
     band = band.reshape(n, nbr_s, W, br, bc)
 
     from cnn_graph_tpu.ops.pallas_band import ring_span
 
     ring = max(ring_span(base_local[s], W, G) for s in range(n))
 
+    # Pre-shard the per-shard fields over 'nodes' (like sparse_halo):
+    # otherwise the FULL global band lands on one device and every call
+    # pays a reshard — fatal at the >single-chip scales this targets.
+    shard = NamedSharding(mesh, P("nodes"))
     return BandedHaloLaplacian(
-        band=jnp.asarray(band, dtype=dtype),
-        base=jnp.asarray(base_local),
+        band=jax.device_put(jnp.asarray(band, dtype=dtype), shard),
+        base=jax.device_put(jnp.asarray(base_local), shard),
         mesh=mesh,
         m=m,
         m_padded=mp,

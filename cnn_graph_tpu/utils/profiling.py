@@ -73,11 +73,11 @@ def spmm_roofline(op, seconds_per_spmm: float, feature_width: int,
     C = feature_width
     mp = op.m_padded
 
-    if hasattr(op, "band"):  # banded
+    if hasattr(op, "band") and op.band.ndim == 4:  # banded, single chip
         nbr, W, br, bc = op.band.shape
         op_bytes = op.band.size * e
         flops = 2 * nbr * W * br * bc * C
-    elif hasattr(op, "blocks"):  # block-sparse
+    elif hasattr(op, "blocks") and op.blocks.ndim == 3:  # block-sparse
         nb, br, bc = op.blocks.shape
         op_bytes = op.blocks.size * e
         # BSR re-reads one x tile per block.
@@ -86,7 +86,10 @@ def spmm_roofline(op, seconds_per_spmm: float, feature_width: int,
         op_bytes = op.mat.size * e
         flops = 2 * mp * mp * C
     else:
-        raise ValueError(f"no roofline model for {type(op).__name__}")
+        raise ValueError(
+            f"no roofline model for {type(op).__name__} "
+            "(sharded operators: model each shard)"
+        )
 
     act_bytes = 2 * mp * C * e  # x read + y write
     bytes_total = op_bytes + act_bytes

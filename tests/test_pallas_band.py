@@ -213,3 +213,59 @@ class TestFusedChebyHop:
         Lr = gc.rescale_laplacian(banded_graph, 2.0)
         want = chebyshev_basis(Lr, x[0, :m], 4)  # [K, m, F]
         np.testing.assert_allclose(got[:, 0, :m], want, atol=1e-3)
+
+
+class TestExtendedColumnMode:
+    """banded_call's sharded-halo usage: window bases offset into an
+    extended x (left/right halo rows), out_rows < x rows.  This is the
+    mode the BandedHaloLaplacian Pallas path runs per shard — exercised
+    here in interpret mode against the unshifted kernel."""
+
+    def test_shifted_base_matches_unshifted(self, banded_graph):
+        from cnn_graph_tpu.ops.pallas_band import banded_call
+
+        op = device_laplacian(banded_graph, fmt="banded", use_pallas=False)
+        rng = np.random.default_rng(11)
+        C = 256
+        x = rng.normal(size=(op.m_padded, C)).astype(np.float32)
+
+        want = np.asarray(banded_call(
+            op.band, op.base, jnp.asarray(x), ring=op.ring_slots,
+            G=op.rows_per_step, out_rows=op.m_padded, interpret=True,
+        ))
+
+        # Prepend OFF zero block-rows to x and shift every window base:
+        # identical math through the extended-column path.
+        for off in (1, 3):
+            x_ext = np.concatenate(
+                [rng.normal(size=(off * 128, C)).astype(np.float32), x]
+            )
+            base_ext = np.asarray(op.base) + off
+            ring = int(op.ring_slots)  # span unchanged by a uniform shift
+            got = np.asarray(banded_call(
+                op.band, jnp.asarray(base_ext.astype(np.int32)),
+                jnp.asarray(x_ext), ring=ring, G=op.rows_per_step,
+                out_rows=op.m_padded, interpret=True,
+            ))
+            np.testing.assert_allclose(got, want, atol=1e-4,
+                                       err_msg=f"offset {off}")
+
+    def test_shifted_base_fused_hop(self, banded_graph):
+        from cnn_graph_tpu.ops.pallas_band import banded_call
+
+        op = device_laplacian(banded_graph, fmt="banded", use_pallas=False)
+        rng = np.random.default_rng(12)
+        C, off = 128, 2
+        x = rng.normal(size=(op.m_padded, C)).astype(np.float32)
+        x0 = rng.normal(size=(op.m_padded, C)).astype(np.float32)
+        x_ext = np.concatenate(
+            [np.zeros((off * 128, C), np.float32), x]
+        )
+        base_ext = (np.asarray(op.base) + off).astype(np.int32)
+        got = np.asarray(banded_call(
+            op.band, jnp.asarray(base_ext), jnp.asarray(x_ext),
+            jnp.asarray(x0), ring=int(op.ring_slots),
+            G=op.rows_per_step, out_rows=op.m_padded, interpret=True,
+        ))
+        want = np.asarray(2.0 * op.matmul(jnp.asarray(x)) - x0)
+        np.testing.assert_allclose(got, want, atol=1e-4)
