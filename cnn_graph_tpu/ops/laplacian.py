@@ -224,9 +224,11 @@ class BandedLaplacian(ChebyHopMixin):
         xb = x.reshape(self.m_padded // bc, bc, -1)
         cols = self.base[:, None] + jnp.arange(W)[None, :]  # [nbr, W]
         wins = jnp.take(xb, cols, axis=0)  # [nbr, W, bc, C]
+        # float32 accumulation matches the Pallas kernel's accumulator,
+        # so this fallback stays a valid oracle for bf16 operands.
         y = jnp.einsum(
             "iwab,iwbc->iac", self.band, wins,
-            preferred_element_type=x.dtype,
+            preferred_element_type=jnp.float32,
         )
         return y.reshape(x.shape).astype(x.dtype)
 
@@ -289,22 +291,25 @@ def band_stats(L: scipy.sparse.spmatrix,
 
 
 def auto_rows_per_step(base, W: int, br: int, bc: int,
-                       elem_bytes: int) -> int:
+                       elem_bytes: int, act_bytes: int | None = None) -> int:
     """Largest G whose FULL banded-kernel VMEM footprint fits a budget:
-    double-buffered band slabs + x ring (tc=512 worst case) + Pallas's
-    double-buffered y / x0 pipeline blocks, in the operator's element
-    size.  ~16MB VMEM/core on v5e; slack is left for Mosaic temporaries.
-    Raises when even G=1 cannot fit."""
+    double-buffered band slabs (in the BAND element size) + x ring +
+    Pallas's double-buffered y / x0 pipeline blocks (in the ACTIVATION
+    element size — activations can be wider than the band, e.g. fp32 x
+    over a bf16 or int8 band).  ~16MB VMEM/core on v5e; slack is left
+    for Mosaic temporaries.  Raises when even G=1 cannot fit."""
     from cnn_graph_tpu.ops.pallas_band import ROWS_PER_STEP, ring_span
 
     tc_est = 512
     budget = 11 * 2**20
+    if act_bytes is None:
+        act_bytes = max(elem_bytes, 4)  # worst case: fp32 activations
 
     def vmem_est(g):
         return (
             2 * g * W * br * bc * elem_bytes           # band slabs
-            + ring_span(base, W, g) * bc * tc_est * elem_bytes
-            + 4 * g * br * tc_est * elem_bytes         # y + x0 blocks
+            + ring_span(base, W, g) * bc * tc_est * act_bytes
+            + 4 * g * br * tc_est * act_bytes          # y + x0 blocks
         )
 
     for g in range(min(ROWS_PER_STEP, len(base)), 0, -1):
@@ -323,7 +328,8 @@ def pack_banded(L: scipy.sparse.spmatrix,
                 rows_per_step: int | None = None,
                 elem_bytes: int = 2,
                 stats: tuple | None = None,
-                row_multiple: int | None = None):
+                row_multiple: int | None = None,
+                band_dtype=np.float32):
     """Pack a block-banded sparse matrix into a dense band
     ``[n_row_blocks, W, br, bc]`` with monotone window bases.
 
@@ -362,11 +368,15 @@ def pack_banded(L: scipy.sparse.spmatrix,
         [base, np.full(n_rb - len(base), base[-1], np.int32)]
     )
     ring = ring_span(base, W, G)
-    band = np.zeros((n_rb, W, br, bc), np.float32)
+    # Allocate the host staging band directly in the target dtype: a
+    # float32 buffer at 1M-node scale (~8k block-rows, W~11) is ~6GB of
+    # host RAM before the device cast; bf16/int8 staging halves/quarters
+    # that.  jax's ml_dtypes supplies the NumPy bfloat16.
+    band = np.zeros((n_rb, W, br, bc), np.dtype(band_dtype))
     coo = L.tocoo()
     brow = coo.row // br
     band[brow, coo.col // bc - base[brow], coo.row % br, coo.col % bc] = (
-        coo.data
+        coo.data.astype(band.dtype)
     )
     return band, base, ring, G, mp
 
@@ -511,7 +521,7 @@ def device_laplacian(
         band, base, ring, G, mp = pack_banded(
             L, block_shape, rows_per_step=rows_per_step,
             elem_bytes=jnp.dtype(dtype).itemsize,
-            stats=_stats,
+            stats=_stats, band_dtype=np.dtype(dtype),
         )
         return BandedLaplacian(
             band=jnp.asarray(band, dtype=dtype),

@@ -207,6 +207,10 @@ def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
     mp = out_rows
     R = ring
     assert nbr % G == 0, (nbr, G)
+    assert col_tile % 128 == 0, (
+        f"col_tile={col_tile} must be a multiple of 128 (TPU lane width); "
+        "a non-aligned tile yields an opaque Mosaic compile error"
+    )
     C = x.shape[1]
     tc = min(col_tile, max(128, -(-C // 128) * 128))
     cp = -(-C // tc) * tc

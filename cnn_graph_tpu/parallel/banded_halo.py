@@ -150,9 +150,11 @@ class BandedHaloLaplacian(ChebyHopMixin):
             xb = x_ext.reshape(-1, bc, x_ext.shape[1])
             cols = base[:, None] + jnp.arange(W)[None, :]
             wins = jnp.take(xb, cols, axis=0)  # [nbr_s, W, bc, C]
+            # float32 accumulation matches the Pallas kernel's
+            # accumulator (valid bf16 oracle; see ops/laplacian.py).
             y = jnp.einsum(
                 "iwab,iwbc->iac", band.astype(x_local.dtype), wins,
-                preferred_element_type=x_local.dtype,
+                preferred_element_type=jnp.float32,
             ).reshape(ms, -1)
             if x0_local is not None:
                 y = 2.0 * y - x0_local
@@ -255,7 +257,7 @@ def banded_halo_laplacian(
     # shard holds the same whole number of super-steps.
     band, base, _, _, mp = pack_banded(
         L, (br, bc), max_band_width=max_band_width, rows_per_step=G,
-        stats=stats, row_multiple=n * G,
+        stats=stats, row_multiple=n * G, band_dtype=np.dtype(dtype),
     )
     nbr = mp // br
     nbr_s = nbr // n
