@@ -98,12 +98,17 @@ def synthetic_mnist(n_train: int = 55000, n_val: int = 5000,
 
 
 def mnist_graph_data(splits: dict, k: int = 8, levels: int = 4,
-                     seed: int = 2017):
+                     seed: int = 2017, edge_noise: float = 0.0):
     """Reference preprocessing: 8-NN grid graph -> coarsen -> perm_data on
-    every split (nips2016/mnist.ipynb cells 3-5).  Returns
+    every split (nips2016/mnist.ipynb cells 3-5).  ``edge_noise`` replaces
+    that fraction of grid edges with random ones before coarsening — the
+    graph-perturbation robustness knob the reference pipeline exposes
+    (mnist.ipynb cell 3 calls ``replace_random_edges(A, 0)``).  Returns
     ``(permuted_splits, laplacians, perm)``."""
     z = gc.grid(28)
     W = gc.knn_graph(z, k=k)
+    if edge_noise:
+        W = gc.replace_random_edges(W, edge_noise, seed=seed)
     graphs, perm = coarsening.coarsen(W, levels=levels, seed=seed,
                                       verbose=False)
     Ls = [gc.laplacian(g, normalized=True) for g in graphs]

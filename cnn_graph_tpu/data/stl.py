@@ -6,6 +6,14 @@ isn't available here, so this implements the same classical decomposition
 additively: trend = centered moving average over one period, seasonal =
 period-position means of the detrended series (de-meaned), resid =
 x - trend - seasonal.
+
+Deviation band vs LOESS STL: on a trend+seasonal+noise(sigma) series the
+residual this estimator returns differs from the true noise by
+~ sigma*sqrt(1/period + 1/n_periods) RMS in the interior (edges use
+nearest-trend extension); tests/test_data.py asserts a 3x bound on a
+20-period daily series.  LOESS's advantage is a slowly-varying seasonal
+component; the humanflow normalizers only consume the residual, where the
+two agree within that band.
 """
 
 from __future__ import annotations

@@ -9,6 +9,7 @@ from cnn_graph_tpu.models.gconv_lstm import (
 )
 from cnn_graph_tpu.models.gconv_rnn import GConvRNN
 from cnn_graph_tpu.models.node_classifier import NodeClassifier
+from cnn_graph_tpu.models.node_lstm import PerNodeLSTM, stack_lstm_collection
 from cnn_graph_tpu.models.resgnn import ResGNN
 
 __all__ = [
@@ -19,7 +20,9 @@ __all__ = [
     "GConvLSTMCell",
     "GConvRNN",
     "NodeClassifier",
+    "PerNodeLSTM",
     "glstm_stack_apply",
     "glstm_stack_init",
     "ResGNN",
+    "stack_lstm_collection",
 ]

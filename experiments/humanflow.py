@@ -98,7 +98,11 @@ def main():
                    choices=["ln_period", "street", "unisolate", "threshold",
                             "split_ln", "split_ln_period", "bj", "bj_clus",
                             "bj_clus_period"])
-    p.add_argument("--model", default="resgnn", choices=["resgnn", "glstm"])
+    p.add_argument("--model", default="resgnn",
+                   choices=["resgnn", "glstm", "lstm"],
+                   help="'lstm' is the graph-free per-node LSTM baseline "
+                        "the graph models are judged against "
+                        "(humantraffic.py:354-383 load_lstm_data)")
     p.add_argument("--variant", default="glstm_gconv")
     p.add_argument("--filter", default="chebyshev",
                    choices=["chebyshev", "fourier"],
@@ -130,6 +134,41 @@ def main():
     from cnn_graph_tpu.utils.metrics import mape, rmse
 
     ht, (tr, va, te, trl, val, tel), edges = build_dataset(args)
+
+    if args.model == "lstm":
+        # Graph-free baseline: M independent per-node LSTMs trained in
+        # one jitted program (models/node_lstm.py).  The reference's
+        # loader has no val split (85/15 train/test,
+        # humantraffic.py:354-383); test doubles as the fit-time eval.
+        from cnn_graph_tpu.models import PerNodeLSTM, stack_lstm_collection
+
+        coll = ht.load_lstm_data(args.seq, 0, args.datafile)
+        d = stack_lstm_collection(coll)
+        model = PerNodeLSTM(n_nodes=d["train_data"].shape[1], seq=args.seq,
+                            num_hidden=args.nfilter)
+        cfg = TrainConfig(
+            num_epochs=args.epochs, learning_rate=args.learning_rate,
+            decay_rate=0.95,
+            decay_steps=max(d["train_data"].shape[0] // args.batch_size, 1),
+            batch_size=args.batch_size, eval_frequency=100, seed=args.seed,
+        )
+        trainer = Trainer(model, cfg, task="regression")
+        trainer.fit(d["train_data"], d["train_labels"],
+                    d["test_data"], d["test_labels"])
+        string, metrics = trainer.evaluate(d["test_data"], d["test_labels"])
+        print(f"test  {string}")
+        preds_real = ht.reverse_normalize(metrics["predictions"])
+        targets_real = ht.reverse_normalize(d["test_labels"])
+        print(f"RMSE (real units): {rmse(targets_real, preds_real):.4f}")
+        print(f"MAPE (targets>20): {mape(targets_real, preds_real):.4f}")
+        if args.save_predictions:
+            scipy.io.savemat(
+                args.save_predictions,
+                {"predictions": preds_real, "targets": targets_real},
+            )
+            print(f"saved predictions to {args.save_predictions}")
+        return
+
     L = gc.laplacian(csr_matrix(edges), normalized=True)
     op = device_laplacian(L)
 

@@ -30,6 +30,10 @@ def main():
                    choices=["chebyshev", "fourier", "spline"])
     p.add_argument("--n-train", type=int, default=55000,
                    help="synthetic-data size when no --data-dir")
+    p.add_argument("--edge-noise", dest="edge_noise", type=float,
+                   default=0.0,
+                   help="fraction of graph edges replaced with random "
+                        "ones (robustness experiment, mnist.ipynb cell 3)")
     p.add_argument("--seed", type=int, default=2017)
     args = p.parse_args()
 
@@ -53,7 +57,8 @@ def main():
         splits = synthetic_mnist(n_train=args.n_train, seed=args.seed)
 
     splits, Ls, perm = mnist_graph_data(splits, k=8, levels=4,
-                                        seed=args.seed)
+                                        seed=args.seed,
+                                        edge_noise=args.edge_noise)
     ops = [device_laplacian(L) for L in Ls]
 
     model = ChebNet(

@@ -60,6 +60,33 @@ class TestSTL:
         assert stl.seasonal.std() > 5
         assert np.abs(stl.resid[DAY:-DAY]).max() < 1.0
 
+    def test_residual_matches_analytic_noise_band(self):
+        """Quantified deviation bound vs the reference's LOESS STL
+        (humantraffic.py:455-474 uses stldecompose): on a synthetic
+        trend+seasonal+noise series the moving-average decomposition's
+        residual must equal the injected noise up to the estimator's
+        smoothing error ~ sigma*sqrt(1/period + 1/n_periods)."""
+        rng = np.random.default_rng(0)
+        n_per, sigma = 20, 1.0
+        t = np.arange(n_per * DAY)
+        trend = 0.02 * t + 5.0
+        seasonal = 3.0 * np.sin(2 * np.pi * t / DAY) + np.cos(
+            4 * np.pi * t / DAY
+        )
+        noise = sigma * rng.normal(size=len(t))
+        stl = decompose(trend + seasonal + noise, period=DAY)
+
+        interior = slice(DAY, -DAY)  # edge-extended trend excluded
+        err = stl.resid[interior] - noise[interior]
+        bound = 3.0 * sigma * np.sqrt(1.0 / DAY + 1.0 / n_per)
+        assert np.std(err) < bound, (np.std(err), bound)
+        # The residual is essentially the noise, not leaked structure.
+        corr = np.corrcoef(stl.resid[interior], noise[interior])[0, 1]
+        assert corr > 0.95
+        # Trend/seasonal recovered within the same band.
+        assert np.std(stl.trend[interior] - trend[interior]) < bound
+        assert np.std(stl.seasonal[interior] - seasonal[interior]) < bound
+
 
 class TestHumanTraffic:
     def test_load_ln_data_period_shapes(self, flow_dir):

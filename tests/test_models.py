@@ -353,3 +353,74 @@ class TestForecasterWindowValidation:
         with pytest.raises(AssertionError, match="period"):
             GConvForecaster(self._op(), seq_closeness=4,
                             variant="glstm_period_expand")
+
+
+class TestPerNodeLSTM:
+    """Graph-free per-node LSTM baseline (models/node_lstm.py), the
+    reference's load_lstm_data consumer (humantraffic.py:354-383)."""
+
+    @pytest.fixture(scope="class")
+    def lstm_data(self):
+        from cnn_graph_tpu.data.humantraffic import HumanTraffic
+        from cnn_graph_tpu.data.synthetic import synthetic_flow
+        from cnn_graph_tpu.models import stack_lstm_collection
+        import scipy.io
+        import tempfile
+        import os
+
+        d = tempfile.mkdtemp(prefix="lstm_")
+        in_m, out_m, _ = synthetic_flow(n_nodes=12, n_steps=300, seed=3)
+        scipy.io.savemat(os.path.join(d, "ln_data.mat"),
+                         {"inmatrix": in_m, "outmatrix": out_m})
+        ht = HumanTraffic(d)
+        coll = ht.load_lstm_data(4, 0, "ln_data.mat")
+        assert len(coll) == 12
+        return stack_lstm_collection(coll)
+
+    def test_shapes_and_forward(self, lstm_data):
+        from cnn_graph_tpu.models import PerNodeLSTM
+
+        d = lstm_data
+        S, n, twoseq = d["train_data"].shape
+        assert twoseq == 8 and d["train_labels"].shape == (S, n, 2)
+        model = PerNodeLSTM(n_nodes=n, seq=4, num_hidden=8)
+        params = model.init(jax.random.PRNGKey(0))
+        out = model.apply(params, jnp.asarray(d["train_data"][:5]))
+        assert out.shape == (5, n, 2)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_nodes_are_independent(self, lstm_data):
+        """No graph: perturbing node j's inputs must change ONLY node j's
+        predictions (the property that makes this the baseline the graph
+        models are judged against)."""
+        from cnn_graph_tpu.models import PerNodeLSTM
+
+        d = lstm_data
+        n = d["train_data"].shape[1]
+        model = PerNodeLSTM(n_nodes=n, seq=4, num_hidden=8)
+        params = model.init(jax.random.PRNGKey(1))
+        x = jnp.asarray(d["train_data"][:3])
+        base = np.asarray(model.apply(params, x))
+        x2 = x.at[:, 5, :].add(1.0)
+        pert = np.asarray(model.apply(params, x2))
+        changed = np.abs(pert - base).max(axis=(0, 2))
+        assert changed[5] > 1e-4
+        others = np.delete(changed, 5)
+        assert others.max() == 0.0
+
+    def test_trains_below_variance(self, lstm_data):
+        from cnn_graph_tpu.models import PerNodeLSTM
+        from cnn_graph_tpu.train import TrainConfig, Trainer
+
+        d = lstm_data
+        n = d["train_data"].shape[1]
+        model = PerNodeLSTM(n_nodes=n, seq=4, num_hidden=16)
+        cfg = TrainConfig(num_epochs=30, learning_rate=5e-3, batch_size=64,
+                          eval_frequency=200, seed=0, decay_rate=1.0)
+        trainer = Trainer(model, cfg, task="regression")
+        trainer.fit(d["train_data"], d["train_labels"],
+                    d["test_data"], d["test_labels"], verbose=False)
+        _, metrics = trainer.evaluate(d["test_data"], d["test_labels"])
+        # Beats predicting the per-node mean (variance) by a clear margin.
+        var = float(np.var(d["test_labels"]))
+        assert metrics["mse"] < 0.5 * var, (metrics["mse"], var)
