@@ -63,7 +63,8 @@ def _round_up(x: int, m: int) -> int:
     data_fields=["band", "base"],
     meta_fields=["mesh", "m", "m_padded", "nnz", "halo_left", "halo_right",
                  "rows_per_shard", "block_shape", "ring_slots",
-                 "rows_per_step", "use_pallas"],
+                 "rows_per_step", "use_pallas", "boundary_pre",
+                 "boundary_suf", "overlap"],
 )
 @dataclasses.dataclass(frozen=True)
 class BandedHaloLaplacian(ChebyHopMixin):
@@ -73,6 +74,15 @@ class BandedHaloLaplacian(ChebyHopMixin):
     [n, nbr_s] block-column window bases INTO THE EXTENDED column space
     ``[left halo | local | right halo]`` of each shard (monotone per
     shard, as the kernel requires).
+
+    ``boundary_pre`` / ``boundary_suf`` split each shard's block-rows
+    into a halo-touching prefix/suffix and a halo-free interior (both
+    multiples of the kernel's rows-per-step G, max'd across shards).
+    With ``overlap=True`` the interior SpMM is issued with NO data
+    dependence on the ppermute results, so XLA's latency-hiding
+    scheduler can run the neighbor exchange behind it (SURVEY.md §2.3
+    "overlapping exchange with local SpMM"); only the small
+    prefix/suffix passes wait for the halo.
     """
 
     band: jax.Array
@@ -88,6 +98,9 @@ class BandedHaloLaplacian(ChebyHopMixin):
     ring_slots: int
     rows_per_step: int
     use_pallas: bool
+    boundary_pre: int = 0   # halo-touching prefix block-rows (multiple of G)
+    boundary_suf: int = 0   # halo-touching suffix block-rows (multiple of G)
+    overlap: bool = False   # interior/boundary split for comm overlap
 
     @property
     def compute_dtype(self):
@@ -109,10 +122,11 @@ class BandedHaloLaplacian(ChebyHopMixin):
 
     # ---- shard-local implementation ----
 
-    def _exchange(self, x_local):
-        """Extended activations [left | local | right] via two neighbor
-        ppermutes; unpaired edge shards receive zeros (their band never
-        reads that region)."""
+    def _exchange_parts(self, x_local):
+        """Start the neighbor ppermutes; return [left?, x_local, right?]
+        WITHOUT concatenating, so callers can place compute between the
+        collective launch and its first use.  Unpaired edge shards
+        receive zeros (their band never reads that region)."""
         n = self.mesh.shape["nodes"]
         br = self.block_shape[0]  # halo extents are block-ROWS of x
         parts = []
@@ -129,7 +143,7 @@ class BandedHaloLaplacian(ChebyHopMixin):
                 jax.lax.ppermute(head, "nodes",
                                  [(i + 1, i) for i in range(n - 1)])
             )
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else x_local
+        return parts
 
     def _apply_impl(self, x: jax.Array, x0: jax.Array | None) -> jax.Array:
         ms = self.rows_per_shard
@@ -138,27 +152,63 @@ class BandedHaloLaplacian(ChebyHopMixin):
             band, base = band[0], base[0]
             x_local = xs[0]
             x0_local = xs[1] if len(xs) > 1 else None
-            x_ext = self._exchange(x_local)
-            if self.use_pallas:
-                from cnn_graph_tpu.ops.pallas_band import banded_call
+            nbr_s, _W, br, _bc = band.shape
 
-                return banded_call(
-                    band, base, x_ext, x0_local, ring=self.ring_slots,
-                    G=self.rows_per_step, out_rows=ms,
-                ).astype(x_local.dtype)
-            nbr_s, W, br, bc = band.shape
-            xb = x_ext.reshape(-1, bc, x_ext.shape[1])
-            cols = base[:, None] + jnp.arange(W)[None, :]
-            wins = jnp.take(xb, cols, axis=0)  # [nbr_s, W, bc, C]
-            # float32 accumulation matches the Pallas kernel's
-            # accumulator (valid bf16 oracle; see ops/laplacian.py).
-            y = jnp.einsum(
-                "iwab,iwbc->iac", band.astype(x_local.dtype), wins,
-                preferred_element_type=jnp.float32,
-            ).reshape(ms, -1)
-            if x0_local is not None:
-                y = 2.0 * y - x0_local
-            return y.astype(x_local.dtype)
+            def run(bslice, baseslice, xarr, x0slice, out_rows):
+                """One banded pass on a row sub-range (Pallas on TPU,
+                float32-accumulating einsum oracle elsewhere)."""
+                if self.use_pallas:
+                    from cnn_graph_tpu.ops.pallas_band import banded_call
+
+                    return banded_call(
+                        bslice, baseslice, xarr, x0slice,
+                        ring=self.ring_slots, G=self.rows_per_step,
+                        out_rows=out_rows,
+                    ).astype(x_local.dtype)
+                _nb, W, _br, bc = bslice.shape
+                xb = xarr.reshape(-1, bc, xarr.shape[1])
+                cols = baseslice[:, None] + jnp.arange(W)[None, :]
+                wins = jnp.take(xb, cols, axis=0)  # [rows, W, bc, C]
+                y = jnp.einsum(
+                    "iwab,iwbc->iac", bslice.astype(x_local.dtype), wins,
+                    preferred_element_type=jnp.float32,
+                ).reshape(out_rows, -1)
+                if x0slice is not None:
+                    y = 2.0 * y - x0slice
+                return y.astype(x_local.dtype)
+
+            def x0_rows(lo, hi):
+                return (None if x0_local is None
+                        else x0_local[lo * br:hi * br])
+
+            parts = self._exchange_parts(x_local)
+            pre, suf = self.boundary_pre, self.boundary_suf
+            interior = nbr_s - pre - suf
+            if self.overlap and interior > 0 and (pre or suf):
+                # Interior block-rows read only local columns: shift
+                # their window bases out of the extended space and run
+                # them against x_local — no dependence on the ppermute
+                # results, so the exchange hides behind this pass.
+                y_int = run(
+                    band[pre:pre + interior],
+                    base[pre:pre + interior] - self.halo_left,
+                    x_local, x0_rows(pre, pre + interior), interior * br,
+                )
+                x_ext = (jnp.concatenate(parts, axis=0)
+                         if len(parts) > 1 else x_local)
+                ys = []
+                if pre:
+                    ys.append(run(band[:pre], base[:pre], x_ext,
+                                  x0_rows(0, pre), pre * br))
+                ys.append(y_int)
+                if suf:
+                    ys.append(run(band[nbr_s - suf:], base[nbr_s - suf:],
+                                  x_ext, x0_rows(nbr_s - suf, nbr_s),
+                                  suf * br))
+                return jnp.concatenate(ys, axis=0)
+            x_ext = (jnp.concatenate(parts, axis=0)
+                     if len(parts) > 1 else x_local)
+            return run(band, base, x_ext, x0_local, ms)
 
         operands = (self.band, self.base, x) + (
             (x0,) if x0 is not None else ()
@@ -283,9 +333,56 @@ def banded_halo_laplacian(
 
     band = band.reshape(n, nbr_s, W, br, bc)
 
+    # Trailing padded rows (all-zero band) inherit the last real row's
+    # base, which can sit below h_l in local coordinates and misclassify
+    # them as halo-touching.  Their band is zero, so re-base them into
+    # the local window space: monotone (>= previous row), >= h_l, and
+    # window-in-range.  Results are unchanged (zero rows); only the
+    # interior/boundary classification and fetch bounds move.
+    nz = band.reshape(n, nbr_s, -1).any(axis=2).reshape(-1)
+    last_real = int(np.max(np.nonzero(nz)[0])) if nz.any() else -1
+    for gi in range(last_real + 1, n * nbr_s):
+        s_i, i = divmod(gi, nbr_s)
+        prev = base_local[s_i, i - 1] if i > 0 else h_l
+        base_local[s_i, i] = np.clip(
+            max(int(prev), h_l), 0, nbr_s + h_l + h_r - W
+        )
+    assert np.all(np.diff(base_local, axis=1) >= 0)
+
+    # Interior/boundary split for exchange-compute overlap: the prefix
+    # rows whose windows reach into the left halo (base < h_l) and the
+    # suffix rows reaching the right halo (base + W > h_l + nbr_s),
+    # rounded up to whole kernel super-steps (G) and max'd across shards
+    # so every shard runs the same three programs.  Interior rows read
+    # only local columns, so their SpMM needs no ppermute result.
+    pre = max(
+        int(np.searchsorted(base_local[s], h_l, side="left"))
+        for s in range(n)
+    )
+    suf = max(
+        nbr_s - int(np.searchsorted(base_local[s], h_l + nbr_s - W,
+                                    side="right"))
+        for s in range(n)
+    )
+    pre = _round_up(pre, G)
+    suf = _round_up(suf, G)
+    overlap = pre + suf < nbr_s and (pre > 0 or suf > 0)
+    if not overlap:
+        pre = suf = 0
+
     from cnn_graph_tpu.ops.pallas_band import ring_span
 
-    ring = max(ring_span(base_local[s], W, G) for s in range(n))
+    # Ring sized over every sub-range the split can run (a bigger ring
+    # is always safe — it only relaxes the collision bound).
+    pieces = [(0, nbr_s)]
+    if overlap:
+        pieces += [(0, pre), (pre, nbr_s - suf), (nbr_s - suf, nbr_s)]
+    ring = max(
+        ring_span(base_local[s, lo:hi], W, G)
+        for s in range(n)
+        for lo, hi in pieces
+        if hi > lo
+    )
 
     # Pre-shard the per-shard fields over 'nodes' (like sparse_halo):
     # otherwise the FULL global band lands on one device and every call
@@ -305,4 +402,7 @@ def banded_halo_laplacian(
         ring_slots=ring,
         rows_per_step=G,
         use_pallas=use_pallas,
+        boundary_pre=pre,
+        boundary_suf=suf,
+        overlap=overlap,
     )

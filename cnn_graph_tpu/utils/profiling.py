@@ -50,10 +50,17 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-# TPU v5e single-chip peaks (per chip; the roofline model of
-# jax-ml.github.io/scaling-book): HBM bandwidth and MXU rates.
+# TPU v5e single-chip peaks.  MEASURED on this device with XLA's own
+# tuned matmul chain (experiments/_peak_probe.py, steady-state, chained
+# 4096^2 dots): bf16 114 TFLOP/s, f32 47 TFLOP/s, int8 153 TOP/s.  The
+# f32 figure matches the datasheet (49T); bf16 lands at 58% of the
+# datasheet's 197T — the datasheet rate is not reachable by any matmul
+# shape we probed (XLA or Pallas), so "speed of light" uses the measured
+# ceiling and the datasheet fraction is reported alongside for honesty.
 V5E_HBM_BYTES_PER_S = 819e9
-V5E_FLOPS = {"bfloat16": 197e12, "float32": 49e12}
+V5E_FLOPS = {"bfloat16": 114e12, "float32": 47e12, "int8": 153e12}
+V5E_FLOPS_DATASHEET = {"bfloat16": 197e12, "float32": 49e12,
+                       "int8": 394e12}
 
 
 def spmm_roofline(op, seconds_per_spmm: float, feature_width: int,
@@ -96,6 +103,9 @@ def spmm_roofline(op, seconds_per_spmm: float, feature_width: int,
     key = str(np.dtype(op.compute_dtype))
     t_hbm = bytes_total / hbm_bw
     t_mxu = flops / flops_per_s.get(key, flops_per_s["float32"])
+    t_mxu_ds = flops / V5E_FLOPS_DATASHEET.get(
+        key, V5E_FLOPS_DATASHEET["float32"]
+    )
     bound = "hbm" if t_hbm >= t_mxu else "mxu"
     t_sol = max(t_hbm, t_mxu)
     return {
@@ -106,6 +116,9 @@ def spmm_roofline(op, seconds_per_spmm: float, feature_width: int,
         "bound": bound,
         "sol_us": round(t_sol * 1e6, 1),
         "achieved_frac_of_sol": round(t_sol / seconds_per_spmm, 3),
+        "achieved_frac_of_datasheet_sol": round(
+            max(t_hbm, t_mxu_ds) / seconds_per_spmm, 3
+        ),
         "useful_edge_flops_frac": round(
             2 * op.nnz * C / flops, 3
         ),

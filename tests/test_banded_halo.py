@@ -81,6 +81,43 @@ class TestBandedHalo:
         # The exchange moves only the halo rows, not whole shards.
         assert op.halo_left + op.halo_right < 2 * nbr_s
 
+    def test_overlap_split_matches_unsplit(self, setup):
+        """The interior/boundary split (exchange-compute overlap) must be
+        bit-identical to the single-pass path: same per-row einsum slices,
+        same float32 accumulation — only the dependency structure differs.
+        """
+        import dataclasses
+
+        L, mesh, _op, ref = setup
+        # rows_per_step=1 keeps the G-rounded boundary smaller than the
+        # shard so the split actually engages at this test scale.
+        op = banded_halo_laplacian(L, mesh, rows_per_step=1)
+        assert op.overlap and (op.boundary_pre or op.boundary_suf), (
+            op.boundary_pre, op.boundary_suf, op.overlap)
+        flat = dataclasses.replace(op, overlap=False)
+
+        rng = np.random.default_rng(7)
+        x1 = jnp.asarray(rng.normal(size=(op.m_padded, 32)), jnp.float32)
+        x0 = jnp.asarray(rng.normal(size=(op.m_padded, 32)), jnp.float32)
+
+        def hop(o, a, b):
+            return o.cheby_hop(a, b)
+
+        def gfun(o, a, b):
+            return jnp.sum(o.cheby_hop(a, b) ** 2)
+
+        with mesh:
+            split_y = np.asarray(jax.jit(hop)(op, x1, x0))
+            unsplit_y = np.asarray(jax.jit(hop)(flat, x1, x0))
+            split_g = np.asarray(jax.jit(jax.grad(gfun, 1))(op, x1, x0))
+            unsplit_g = np.asarray(jax.jit(jax.grad(gfun, 1))(flat, x1, x0))
+        np.testing.assert_array_equal(split_y, unsplit_y)
+        np.testing.assert_array_equal(split_g, unsplit_g)
+        # Dense oracle agreement too (not just self-consistency).
+        want = np.asarray(ref.cheby_hop(x1[: ref.m_padded],
+                                        x0[: ref.m_padded]))
+        np.testing.assert_allclose(split_y[: op.m], want[: op.m], atol=1e-4)
+
     def test_too_many_shards_raises(self):
         # 8 shards over a graph whose band is wider than a shard.
         L, _ = city_graph(16, k=8, seed=0)  # 256 nodes -> 2 block rows
