@@ -14,6 +14,8 @@ from cnn_graph_tpu.ops.laplacian import (
     device_laplacian,
     pack_banded,
     pack_block_sparse,
+    QuantBandedLaplacian,
+    quantize_banded,
 )
 from cnn_graph_tpu.ops.pooling import avg_pool, max_pool
 
@@ -29,6 +31,8 @@ __all__ = [
     "device_laplacian",
     "pack_banded",
     "pack_block_sparse",
+    "QuantBandedLaplacian",
+    "quantize_banded",
     "avg_pool",
     "max_pool",
 ]

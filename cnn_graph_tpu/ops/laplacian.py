@@ -42,6 +42,8 @@ __all__ = [
     "DenseLaplacian",
     "BlockSparseLaplacian",
     "BandedLaplacian",
+    "QuantBandedLaplacian",
+    "quantize_banded",
     "BCOOLaplacian",
     "device_laplacian",
     "pack_block_sparse",
@@ -110,7 +112,8 @@ class DenseLaplacian(ChebyHopMixin):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_rows", "block_cols", "block_rowptr"],
-    meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas"],
+    meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas",
+                 "row_max"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockSparseLaplacian(ChebyHopMixin):
@@ -127,7 +130,7 @@ class BlockSparseLaplacian(ChebyHopMixin):
     (each tile still maps to one MXU pass with 8 output sublanes).
     """
 
-    blocks: jax.Array  # [nb, br, bc]
+    blocks: jax.Array  # [nb (+ row_max zero-pad), br, bc]
     block_rows: jax.Array  # [nb] int32, sorted ascending
     block_cols: jax.Array  # [nb] int32
     block_rowptr: jax.Array  # [n_row_blocks + 1] int32
@@ -136,6 +139,12 @@ class BlockSparseLaplacian(ChebyHopMixin):
     nnz: int
     block_shape: tuple
     use_pallas: bool
+    # Chunked-DMA mode: when > 0, ``blocks`` carries ``row_max`` trailing
+    # zero blocks and the Pallas kernel fetches each block-row's extent
+    # [rowptr[i], rowptr[i]+row_max) as ONE contiguous slab DMA
+    # (amortizing the fixed per-block transfer cost) instead of one DMA
+    # per block; the tail pad makes the static-size overrun safe.
+    row_max: int = 0
 
     @property
     def block_size(self):  # square-block compatibility accessor
@@ -155,9 +164,12 @@ class BlockSparseLaplacian(ChebyHopMixin):
         n_row_blocks = self.m_padded // br
         xb = x.reshape(self.m_padded // bc, bc, -1)
         gathered = jnp.take(xb, self.block_cols, axis=0)  # [nb, bc, C]
+        # blocks may carry a row_max zero-pad tail for the chunked
+        # kernel's static slab overrun; the fallback contracts the real
+        # prefix only.
         partial = jnp.einsum(
-            "nij,njc->nic", self.blocks, gathered,
-            preferred_element_type=x.dtype,
+            "nij,njc->nic", self.blocks[: self.block_cols.shape[0]],
+            gathered, preferred_element_type=x.dtype,
         )
         yb = jax.ops.segment_sum(
             partial, self.block_rows, num_segments=n_row_blocks,
@@ -255,8 +267,131 @@ class BCOOLaplacian(ChebyHopMixin):
         return self.bcoo @ x
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["band", "base"],
+    meta_fields=["m", "m_padded", "nnz", "block_shape", "ring_slots",
+                 "rows_per_step", "use_pallas", "band_scale", "act_scale"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuantBandedLaplacian:
+    """Int8-quantized banded Laplacian — the INFERENCE/serving path.
+
+    The band is symmetric-quantized with ONE global scale
+    ``band_scale = max|L| / 127`` (the spectral rescale bounds entries
+    uniformly); activations ride a FIXED scale ``act_scale`` across the
+    whole Chebyshev recurrence, valid because |T_k(lambda)| <= 1 on the
+    rescaled spectrum keeps the carries in the input's range (headroom
+    factor in ``quantize_banded``).  Taps then accumulate in pure int32
+    at the MXU's int8 rate — measured 95.7 TOP/s per tap vs 73 TFLOP/s
+    bf16 (experiments/_mxu_probe7.py); per-tap float rescaling would
+    cost 13% and is avoided by the shared scale.
+
+    Inference-only: no VJP (train in bf16/f32, quantize for serving).
+    The recurrence runs on int8 carries via ``cheby_hop_q``; ``matmul``
+    offers a float-in/float-out view for drop-in parity checks.
+    """
+
+    band: jax.Array   # [nbr, W, br, bc] int8
+    base: jax.Array   # [nbr] int32, monotone
+    m: int
+    m_padded: int
+    nnz: int
+    block_shape: tuple
+    ring_slots: int
+    rows_per_step: int
+    use_pallas: bool
+    band_scale: float  # dequant scale of the band
+    act_scale: float   # fixed activation scale (quantize/dequantize)
+
+    @property
+    def band_width(self):
+        return self.band.shape[1]
+
+    @property
+    def compute_dtype(self):
+        return self.band.dtype
+
+    def quantize(self, x: jax.Array) -> jax.Array:
+        return jnp.clip(jnp.round(x / self.act_scale), -127, 127).astype(
+            jnp.int8
+        )
+
+    def dequantize(self, q: jax.Array, dtype=jnp.float32) -> jax.Array:
+        return (q.astype(jnp.float32) * self.act_scale).astype(dtype)
+
+    def _call(self, x_q: jax.Array, x0_q: jax.Array | None) -> jax.Array:
+        if self.use_pallas:
+            from cnn_graph_tpu.ops.pallas_band import banded_call
+
+            return banded_call(
+                self.band, self.base, x_q, x0_q, ring=self.ring_slots,
+                G=self.rows_per_step, out_rows=self.m_padded,
+                band_scale=self.band_scale,
+            )
+        # XLA fallback mirrors the kernel's integer arithmetic exactly:
+        # int32 window taps, dequant + round at emission.
+        nbr, W, br, bc = self.band.shape
+        xb = x_q.reshape(self.m_padded // bc, bc, -1)
+        cols = self.base[:, None] + jnp.arange(W)[None, :]
+        wins = jnp.take(xb, cols, axis=0)
+        acc = jnp.einsum(
+            "iwab,iwbc->iac", self.band, wins,
+            preferred_element_type=jnp.int32,
+        ).reshape(x_q.shape)
+        y = self.band_scale * acc.astype(jnp.float32)
+        if x0_q is not None:
+            y = 2.0 * y - x0_q.astype(jnp.float32)
+        return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+
+    def spmm_q(self, x_q: jax.Array) -> jax.Array:
+        """``quantize(L @ dequantize(x_q))`` in one int8 kernel pass."""
+        return self._call(x_q, None)
+
+    def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array) -> jax.Array:
+        """Quantized fused recurrence hop ``2 (L @ x1) - x0``."""
+        return self._call(x1_q, x0_q)
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """Float view for parity checks: quantize -> int8 SpMM -> dequant
+        (one extra quantization of x vs the resident-int8 chain)."""
+        return self.dequantize(self.spmm_q(self.quantize(x)), x.dtype)
+
+
+def quantize_banded(op: BandedLaplacian, headroom: float = 2.0,
+                    sample_x: float = 1.0) -> QuantBandedLaplacian:
+    """Quantize a BandedLaplacian for int8 inference.
+
+    ``headroom`` multiplies the activation scale so recurrence carries
+    that wander above the input range saturate gracefully instead of
+    wrapping; |T_k| <= 1 on the rescaled spectrum bounds the growth, so
+    2x covers practical chains (validated in tests against the f32
+    chain).  ``sample_x`` is the expected activation max (callers pass
+    ``float(jnp.max(jnp.abs(x)))`` of a representative batch).
+    """
+    band = np.asarray(jax.device_get(op.band), np.float32)
+    s_b = float(np.max(np.abs(band))) / 127.0
+    if s_b == 0.0:
+        s_b = 1.0
+    band_q = np.clip(np.round(band / s_b), -127, 127).astype(np.int8)
+    return QuantBandedLaplacian(
+        band=jnp.asarray(band_q),
+        base=op.base,
+        m=op.m,
+        m_padded=op.m_padded,
+        nnz=op.nnz,
+        block_shape=op.block_shape,
+        ring_slots=op.ring_slots,
+        rows_per_step=op.rows_per_step,
+        use_pallas=op.use_pallas,
+        band_scale=s_b,
+        act_scale=float(sample_x) * headroom / 127.0,
+    )
+
+
 LaplacianOperator = (
-    DenseLaplacian | BlockSparseLaplacian | BandedLaplacian | BCOOLaplacian
+    DenseLaplacian | BlockSparseLaplacian | BandedLaplacian
+    | QuantBandedLaplacian | BCOOLaplacian
 )
 
 
@@ -454,6 +589,7 @@ def device_laplacian(
     use_pallas: bool | None = None,
     dense_threshold: int = 2048,
     rows_per_step: int | None = None,
+    chunked_rows: bool = False,
 ) -> LaplacianOperator:
     """Build a device operator for the (rescaled) Laplacian.
 
@@ -547,6 +683,26 @@ def device_laplacian(
         else:
             block_shape = tuple(block_size)
         blocks, brows, bcols, rowptr, mp = pack_block_sparse(L, block_shape)
+        # Chunked row-slab DMA (one transfer per block-row extent) is
+        # opt-in: measured SLOWER than the per-block pipeline on the 50k
+        # RCM city graph (1693 vs 1601 us/spmm — fetching the max extent
+        # pads 9 blocks/row against 6.6 actually present, and the
+        # per-block pipeline already hides the fixed transfer cost
+        # behind the MXU taps; DESIGN.md §11).  Hub-heavy graphs whose
+        # max extent dwarfs the mean are refused regardless (the slab
+        # buffer is sized by the max).
+        counts = np.diff(rowptr)
+        row_max = int(counts.max()) if len(counts) else 0
+        mean_cnt = float(counts.mean()) if len(counts) else 0.0
+        if chunked_rows and row_max > 0 and row_max <= max(
+            4.0 * mean_cnt, 8.0
+        ):
+            blocks = np.concatenate(
+                [blocks,
+                 np.zeros((row_max,) + blocks.shape[1:], blocks.dtype)]
+            )
+        else:
+            row_max = 0
         return BlockSparseLaplacian(
             blocks=jnp.asarray(blocks, dtype=dtype),
             block_rows=jnp.asarray(brows),
@@ -557,6 +713,7 @@ def device_laplacian(
             nnz=nnz,
             block_shape=block_shape,
             use_pallas=use_pallas,
+            row_max=row_max,
         )
 
     if fmt == "bcoo":

@@ -68,14 +68,24 @@ def ring_span(base, W: int, G: int, pa: int = PREFETCH_AHEAD) -> int:
 
 
 def _kernel(base_ref, band_ref, x_ref, *rest,
-            W, br, bc, tc, R, G, hop):
+            W, br, bc, tc, R, G, hop, band_scale=None):
     # rest is (x0_ref, y_ref, scratch...) for the fused Chebyshev hop
     # (y = 2 L@x - x0) or (y_ref, scratch...) for the plain SpMM.
+    # ``band_scale`` switches the kernel to the quantized-inference path:
+    # int8 band x int8 activations, pure int32 accumulation (2x the bf16
+    # MXU rate class; measured 95.7 vs 73 TOP/FLOP per tap), with the
+    # dequant/requant folded into the per-row emission.  Activations use
+    # ONE fixed scale s_x across the whole recurrence (|T_k(lambda)| <= 1
+    # on the rescaled spectrum bounds the carries), so no per-tap scale
+    # FMA is needed — measured to cost 13% of the tap rate otherwise
+    # (experiments/_mxu_probe7.py).
     if hop:
         x0_ref, y_ref, bandbuf, xring, bsem, xsem = rest
     else:
         y_ref, bandbuf, xring, bsem, xsem = rest
         x0_ref = None
+    quant = band_scale is not None
+    acc_dt = jnp.int32 if quant else jnp.float32
     j = pl.program_id(0)
     s = pl.program_id(1)
     nsb = pl.num_programs(1)
@@ -148,13 +158,26 @@ def _kernel(base_ref, band_ref, x_ref, *rest,
     # G block-rows x W dense MXU taps against the ring window.
     for g in range(G):
         base_g = base_ref[s * G + g]
-        acc = jnp.zeros((br, tc), jnp.float32)
+        acc = jnp.zeros((br, tc), acc_dt)
         for d in range(W):
             acc += jnp.dot(
                 bandbuf[slot, g, d],
                 xring[jax.lax.rem(base_g + d, R)],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_dt,
             )
+        if quant:
+            # Dequant epilogue: acc represents (L@x) / (s_B * s_x); the
+            # output rides the SAME fixed activation scale s_x, so
+            # y/s_x = s_B*acc (SpMM) or 2*s_B*acc - x0_i8 (hop).
+            y = band_scale * acc.astype(jnp.float32)
+            if hop:
+                y = 2.0 * y - x0_ref[g * br:(g + 1) * br, :].astype(
+                    jnp.float32
+                )
+            y_ref[g * br:(g + 1) * br, :] = jnp.clip(
+                jnp.round(y), -127.0, 127.0
+            ).astype(y_ref.dtype)
+            continue
         if hop:
             # Fused Chebyshev recurrence update: saves the separate XLA
             # elementwise pass (3 full-activation HBM transfers per hop).
@@ -193,7 +216,8 @@ def _band_call(L, x, x0, col_tile, interpret):
 
 
 def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
-                col_tile: int = 512, interpret: bool = False):
+                col_tile: int = 512, interpret: bool = False,
+                band_scale: float | None = None):
     """Raw banded SpMM / fused-hop kernel call on explicit fields.
 
     ``x`` may have MORE rows than ``out_rows`` (extended-column use: the
@@ -202,6 +226,9 @@ def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
     x's block rows directly.  No custom VJP here — the L-level wrappers
     (band_spmm / band_cheby_hop) and the sharded operators define their
     own adjoints.
+
+    ``band_scale`` enables the int8 inference path (band and x int8,
+    int32 taps, dequant/requant at emission — see QuantBandedLaplacian).
     """
     nbr, W, br, bc = band.shape
     mp = out_rows
@@ -248,7 +275,7 @@ def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
     operands = (base, band, x) + ((x0,) if hop else ())
     y = pl.pallas_call(
         functools.partial(_kernel, W=W, br=br, bc=bc, tc=tc, R=R, G=G,
-                          hop=hop),
+                          hop=hop, band_scale=band_scale),
         out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

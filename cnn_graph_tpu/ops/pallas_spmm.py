@@ -84,6 +84,83 @@ def _kernel(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
     y_ref[:] = acc_ref[:].astype(y_ref.dtype)
 
 
+def _kernel_chunked(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
+                    acc_ref, bslab_ref, xbuf_ref, bsem, xsem,
+                    *, br, bc, tc, Lmax):
+    """Chunked-DMA BSR: one contiguous slab transfer per block-row.
+
+    Blocks of a row are adjacent in memory (pack_block_sparse sorts by
+    (row, col)), so the whole extent [rowptr[i], rowptr[i]+Lmax) arrives
+    in ONE DMA, double-buffered across rows — amortizing the fixed
+    per-transfer cost that dominates the per-block pipeline (~0.6us per
+    block measured at 50k nodes).  The static Lmax overrun past rowptr
+    [i+1] is safe: the operator pads ``blocks`` with Lmax zero blocks
+    (BlockSparseLaplacian.row_max).  x tiles stay per-block (their
+    columns are scattered), pipelined NBUF deep as before.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nbr = pl.num_programs(0)
+    lo = row_ptr_ref[i]
+    hi = row_ptr_ref[i + 1]
+
+    def slab_dma(row, slot):
+        return pltpu.make_async_copy(
+            blocks_ref.at[pl.ds(row_ptr_ref[row], Lmax)],
+            bslab_ref.at[slot],
+            bsem.at[slot],
+        )
+
+    def x_dma(b, slot):
+        col = cols_ref[b]
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(col * bc, bc), pl.ds(j * tc, tc)],
+            xbuf_ref.at[slot],
+            xsem.at[slot],
+        )
+
+    # Row slab: started one row ahead (at the row's first column step),
+    # waited at this row's first column step; later column steps reuse
+    # the resident slab.
+    @pl.when(j == 0)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            slab_dma(0, 0).start()
+
+        @pl.when(i + 1 < nbr)
+        def _():
+            slab_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+        slab_dma(i, jax.lax.rem(i, 2)).wait()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for d in range(NBUF - 1):
+        @pl.when(lo + d < hi)
+        def _(d=d):
+            x_dma(lo + d, jax.lax.rem(jnp.int32(d), NBUF)).start()
+
+    islot = jax.lax.rem(i, 2)
+
+    def body(b, _):
+        slot = jax.lax.rem(b - lo, NBUF)
+        ahead = b + NBUF - 1
+
+        @pl.when(ahead < hi)
+        def _():
+            x_dma(ahead, jax.lax.rem(ahead - lo, NBUF)).start()
+
+        x_dma(b, slot).wait()
+        acc_ref[:] += jnp.dot(
+            bslab_ref[islot, b - lo], xbuf_ref[slot],
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(lo, hi, body, 0)
+    y_ref[:] = acc_ref[:].astype(y_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def bsr_spmm(L, x: jax.Array, col_tile: int = 512,
              interpret: bool = False) -> jax.Array:
@@ -120,6 +197,17 @@ def _bsr_spmm_impl(L, x: jax.Array, col_tile: int = 512,
     if cp != C:
         x = jnp.pad(x, ((0, 0), (0, cp - C)))
 
+    chunked = getattr(L, "row_max", 0) > 0
+    if chunked:
+        kernel = functools.partial(_kernel_chunked, br=br, bc=bc, tc=tc,
+                                   Lmax=L.row_max)
+        block_scratch = pltpu.VMEM((2, L.row_max, br, bc), L.blocks.dtype)
+        bsem_shape = (2,)
+    else:
+        kernel = functools.partial(_kernel, br=br, bc=bc, tc=tc)
+        block_scratch = pltpu.VMEM((NBUF, br, bc), L.blocks.dtype)
+        bsem_shape = (NBUF,)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nbr, cp // tc),
@@ -132,15 +220,15 @@ def _bsr_spmm_impl(L, x: jax.Array, col_tile: int = 512,
         ),
         scratch_shapes=[
             pltpu.VMEM((br, tc), jnp.float32),        # accumulator
-            pltpu.VMEM((NBUF, br, bc), L.blocks.dtype),  # block pipeline
+            block_scratch,                            # block slab/pipeline
             pltpu.VMEM((NBUF, bc, tc), x.dtype),         # x-tile pipeline
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA(bsem_shape),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 
     y = pl.pallas_call(
-        functools.partial(_kernel, br=br, bc=bc, tc=tc),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

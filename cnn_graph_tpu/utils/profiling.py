@@ -85,8 +85,9 @@ def spmm_roofline(op, seconds_per_spmm: float, feature_width: int,
         op_bytes = op.band.size * e
         flops = 2 * nbr * W * br * bc * C
     elif hasattr(op, "blocks") and op.blocks.ndim == 3:  # block-sparse
-        nb, br, bc = op.blocks.shape
-        op_bytes = op.blocks.size * e
+        nb = int(op.block_cols.shape[0])  # excl. chunked-DMA zero pad
+        _, br, bc = op.blocks.shape
+        op_bytes = nb * br * bc * e
         # BSR re-reads one x tile per block.
         flops = 2 * nb * br * bc * C
     elif hasattr(op, "mat"):  # dense

@@ -94,3 +94,38 @@ class TestBsrSpmmInterpret:
             bsr_spmm(op, bsr_spmm(op, X, interpret=True), interpret=True)
         )
         np.testing.assert_allclose(np.asarray(g), want, atol=1e-3)
+
+
+class TestChunkedRowSlabDMA:
+    """Chunked mode (one slab DMA per block-row extent) vs the per-block
+    pipeline: identical results; auto-selection skips hub-heavy rows."""
+
+    def test_chunked_matches_per_block(self, big_graph):
+        import dataclasses
+
+        op = device_laplacian(big_graph, fmt="bsr", block_size=128,
+                              chunked_rows=True)
+        assert op.row_max > 0, "even kNN graph should allow chunked DMA"
+        per_block = dataclasses.replace(op, row_max=0)
+        rng = np.random.default_rng(21)
+        X = jnp.asarray(
+            rng.normal(size=(op.m_padded, 192)).astype(np.float32))
+        got = np.asarray(bsr_spmm(op, X, interpret=True))
+        want = np.asarray(bsr_spmm(per_block, X, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_hub_rows_disable_chunking(self):
+        import scipy.sparse
+
+        # A star-ish graph: one row block holds ~all blocks; the slab
+        # buffer would be sized by that hub, so auto keeps per-block.
+        n = 2048
+        rows = np.concatenate([np.zeros(n, np.int64), np.arange(n)])
+        cols = np.concatenate([np.arange(n), np.zeros(n, np.int64)])
+        data = np.ones(len(rows))
+        W = scipy.sparse.coo_matrix((data, (rows, cols)), shape=(n, n))
+        from cnn_graph_tpu.graphs import construction as gc
+
+        op = device_laplacian(gc.laplacian(W.tocsr(), normalized=True),
+                              fmt="bsr", block_size=128, chunked_rows=True)
+        assert op.row_max == 0

@@ -269,3 +269,81 @@ class TestExtendedColumnMode:
         ))
         want = np.asarray(2.0 * op.matmul(jnp.asarray(x)) - x0)
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestQuantizedBand:
+    """Int8 inference path (QuantBandedLaplacian): kernel/fallback
+    bit-exactness, single-SpMM error, and drift over a full recurrence
+    against the float chain."""
+
+    @pytest.fixture(scope="class")
+    def qsetup(self, banded_graph):
+        from cnn_graph_tpu.ops import quantize_banded
+
+        op = device_laplacian(banded_graph, fmt="banded", use_pallas=False)
+        rng = np.random.default_rng(13)
+        x = rng.normal(size=(op.m_padded, 128)).astype(np.float32)
+        x[op.m:] = 0
+        qop = quantize_banded(op, sample_x=float(np.max(np.abs(x))))
+        return op, qop, x
+
+    def test_quantized_matmul_close_to_float(self, qsetup):
+        op, qop, x = qsetup
+        got = np.asarray(jax.jit(lambda o, v: o.matmul(v))(
+            qop, jnp.asarray(x)))
+        want = np.asarray(op.matmul(jnp.asarray(x)))
+        # Global-scale int8 on Gaussian data: the max/RMS ratio (~4.4)
+        # costs ~2 bits, so a single quant->spmm->dequant round trip
+        # lands at ~6% RMS (input + output rounding); per-tensor-adaptive
+        # scales would halve it but cost 13% of the tap rate
+        # (experiments/_mxu_probe7.py) — accepted for the serving path.
+        rel = (np.linalg.norm(got[: op.m] - want[: op.m])
+               / np.linalg.norm(want[: op.m]))
+        assert rel < 0.08, rel
+
+    def test_kernel_interpret_matches_fallback_bitexact(self, qsetup):
+        from cnn_graph_tpu.ops.pallas_band import banded_call
+
+        op, qop, x = qsetup
+        xq = qop.quantize(jnp.asarray(x))
+        x0q = qop.quantize(jnp.asarray(0.3 * x))
+        got = np.asarray(banded_call(
+            qop.band, qop.base, xq, x0q, ring=qop.ring_slots,
+            G=qop.rows_per_step, out_rows=qop.m_padded, interpret=True,
+            band_scale=qop.band_scale,
+        ))
+        want = np.asarray(qop._call(xq, x0q))  # XLA integer fallback
+        np.testing.assert_array_equal(got, want)
+
+    def test_quantized_chain_tracks_float_chain(self, qsetup):
+        op, qop, x = qsetup
+        K = 15
+
+        @jax.jit
+        def chain_f(op, x):
+            def hop(c, _):
+                a, b = c
+                return (b, op.cheby_hop(b, a)), None
+
+            (a, b), _ = jax.lax.scan(hop, (x, op.matmul(x)), None,
+                                     length=K)
+            return b
+
+        @jax.jit
+        def chain_q(qop, x):
+            xq = qop.quantize(x)
+
+            def hop(c, _):
+                a, b = c
+                return (b, qop.cheby_hop_q(b, a)), None
+
+            (a, b), _ = jax.lax.scan(hop, (xq, qop.spmm_q(xq)), None,
+                                     length=K)
+            return qop.dequantize(b)
+
+        xf = jnp.asarray(x)
+        want = np.asarray(chain_f(op, xf))
+        got = np.asarray(chain_q(qop, xf))
+        rel = (np.linalg.norm(got[: op.m] - want[: op.m])
+               / np.linalg.norm(want[: op.m]))
+        assert rel < 0.15, rel
