@@ -15,7 +15,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["lib", "graclus_one_level_native", "csr_to_ell_native"]
+__all__ = ["lib", "graclus_one_level_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "graph_kernels.cpp")
@@ -43,7 +43,6 @@ def lib():
                 )
             _lib = ctypes.CDLL(_SO)
             _lib.graclus_one_level.restype = ctypes.c_int64
-            _lib.csr_to_ell.restype = ctypes.c_int64
         except (OSError, subprocess.CalledProcessError):
             _lib = None
         return _lib
@@ -73,23 +72,3 @@ def graclus_one_level_native(indptr, indices, data, rid, weights):
         _ptr(cluster, ctypes.c_int32),
     )
     return cluster
-
-
-def csr_to_ell_native(indptr, indices, data, width: int):
-    """Pack CSR rows into padded ELL arrays; None if unavailable."""
-    L = lib()
-    if L is None:
-        return None
-    n = len(indptr) - 1
-    indptr = np.ascontiguousarray(indptr, np.int64)
-    indices = np.ascontiguousarray(indices, np.int32)
-    data = np.ascontiguousarray(data, np.float64)
-    ell_cols = np.empty((n, width), np.int32)
-    ell_vals = np.empty((n, width), np.float64)
-    max_len = L.csr_to_ell(
-        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
-        _ptr(data, ctypes.c_double), ctypes.c_int64(n),
-        ctypes.c_int64(width),
-        _ptr(ell_cols, ctypes.c_int32), _ptr(ell_vals, ctypes.c_double),
-    )
-    return ell_cols, ell_vals, int(max_len)

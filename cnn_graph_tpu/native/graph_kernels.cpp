@@ -9,9 +9,6 @@
 //     (the sequential inner loop of multilevel coarsening; Python-loop
 //     equivalent in graphs/coarsening.py:graclus_pairing).  O(nnz) per
 //     level but latency-bound in Python for multi-million-edge graphs.
-//   * coo_to_ell — pack a sorted COO adjacency into padded ELL rows
-//     (column indices + values), the layout used to build block-sparse
-//     device operators for very large graphs.
 //
 // Built as a plain shared library; Python binds via ctypes
 // (cnn_graph_tpu/native/__init__.py) with a NumPy fallback when no
@@ -56,31 +53,6 @@ int64_t graclus_one_level(const int64_t* indptr, const int32_t* indices,
     }
     delete[] matched;
     return n_clusters;
-}
-
-// Pack CSR rows into fixed-width ELL format.  Rows longer than `width`
-// are truncated (caller chooses width >= max degree to avoid it); short
-// rows are padded with column = row (self, value 0).  Outputs
-// ell_cols[n*width], ell_vals[n*width].  Returns max row length seen.
-int64_t csr_to_ell(const int64_t* indptr, const int32_t* indices,
-                   const double* data, int64_t n, int64_t width,
-                   int32_t* ell_cols, double* ell_vals) {
-    int64_t max_len = 0;
-    for (int64_t r = 0; r < n; ++r) {
-        const int64_t lo = indptr[r], hi = indptr[r + 1];
-        const int64_t len = hi - lo;
-        if (len > max_len) max_len = len;
-        const int64_t take = len < width ? len : width;
-        for (int64_t j = 0; j < take; ++j) {
-            ell_cols[r * width + j] = indices[lo + j];
-            ell_vals[r * width + j] = data[lo + j];
-        }
-        for (int64_t j = take; j < width; ++j) {
-            ell_cols[r * width + j] = static_cast<int32_t>(r);
-            ell_vals[r * width + j] = 0.0;
-        }
-    }
-    return max_len;
 }
 
 }  // extern "C"

@@ -284,7 +284,7 @@ class QuantBandedLaplacian:
     rescaled spectrum keeps the carries in the input's range (headroom
     factor in ``quantize_banded``).  Taps then accumulate in pure int32
     at the MXU's int8 rate — measured 95.7 TOP/s per tap vs 73 TFLOP/s
-    bf16 (experiments/_mxu_probe7.py); per-tap float rescaling would
+    bf16 (experiments/_probe.py mxu; DESIGN.md §11); per-tap float rescaling would
     cost 13% and is avoided by the shared scale.
 
     Inference-only: no VJP (train in bf16/f32, quantize for serving).

@@ -78,7 +78,7 @@ def _kernel(base_ref, band_ref, x_ref, *rest,
     # ONE fixed scale s_x across the whole recurrence (|T_k(lambda)| <= 1
     # on the rescaled spectrum bounds the carries), so no per-tap scale
     # FMA is needed — measured to cost 13% of the tap rate otherwise
-    # (experiments/_mxu_probe7.py).
+    # (experiments/_probe.py mxu; DESIGN.md §11).
     if hop:
         x0_ref, y_ref, bandbuf, xring, bsem, xsem = rest
     else:

@@ -51,7 +51,7 @@ def trace(log_dir: str):
 
 
 # TPU v5e single-chip peaks.  MEASURED on this device with XLA's own
-# tuned matmul chain (experiments/_peak_probe.py, steady-state, chained
+# tuned matmul chain (experiments/_probe.py peak, steady-state, chained
 # 4096^2 dots): bf16 114 TFLOP/s, f32 47 TFLOP/s, int8 153 TOP/s.  The
 # f32 figure matches the datasheet (49T); bf16 lands at 58% of the
 # datasheet's 197T — the datasheet rate is not reachable by any matmul

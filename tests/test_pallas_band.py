@@ -296,7 +296,7 @@ class TestQuantizedBand:
         # costs ~2 bits, so a single quant->spmm->dequant round trip
         # lands at ~6% RMS (input + output rounding); per-tensor-adaptive
         # scales would halve it but cost 13% of the tap rate
-        # (experiments/_mxu_probe7.py) — accepted for the serving path.
+        # (DESIGN.md §11) — accepted for the serving path.
         rel = (np.linalg.norm(got[: op.m] - want[: op.m])
                / np.linalg.norm(want[: op.m]))
         assert rel < 0.08, rel
