@@ -119,6 +119,119 @@ def _train_step_time(model, params, x, y, iters=100):
     return dt / iters
 
 
+def _serving_section(L, positions, op, qop, K=25, C=512, steps=120,
+                     iters=10, n_classes=16):
+    """End-to-end int8 serving through the USER-FACING path: train a
+    NodeClassifier (f32 params over the bf16 banded operator) on a
+    planted-partition task over the same 50k city graph, then run
+    inference through ``model.apply`` with the f32 and int8 operators —
+    cheby_conv dispatches on the quantized protocol (DESIGN.md §11).
+    Reports the accuracy delta and the model-level throughput, so the
+    kernel headline is reproducible by a program a user can run
+    (experiments/node_classification.py --int8 is the CLI twin)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cnn_graph_tpu.models import NodeClassifier
+
+    rng = np.random.default_rng(1)
+    side = int(np.sqrt(positions.shape[0]))
+    patch = (positions[:, 0] // (side / 8)).astype(int) * 8 + (
+        positions[:, 1] // (side / 8)
+    ).astype(int)
+    labels = (patch % n_classes).astype(np.int64)
+    signatures = rng.normal(0, 1, (n_classes, C)).astype(np.float32)
+    feats = signatures[labels] + rng.normal(
+        0, 1.0, (len(labels), C)
+    ).astype(np.float32)
+
+    m = op.m_padded
+    fp = np.zeros((m, C), np.float32)
+    fp[: len(feats)] = feats
+    yp = np.zeros((m,), np.int64)
+    yp[: len(labels)] = labels
+    train = np.zeros(m, bool)
+    train[: len(labels)] = rng.random(len(labels)) < 0.1
+    test = np.zeros(m, bool)
+    test[: len(labels)] = ~train[: len(labels)]
+
+    def make_model(operator):
+        # One wide K=25 conv (Fin=C -> classes): every SpMM runs at the
+        # same C=512 lane width as the kernel headline chain.
+        return NodeClassifier(operator, input_features=C,
+                              num_classes=n_classes, hidden=[], K=K)
+
+    model = make_model(op)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    features, y, tmask, emask = map(
+        jnp.asarray, (fp, yp, train, test)
+    )
+
+    @jax.jit
+    def fit(op, params, state, features, y, tmask):
+        mm = make_model(op)
+
+        def step(carry, _):
+            params, state = carry
+            loss, g = jax.value_and_grad(mm.loss)(params, features, y,
+                                                  tmask)
+            up, state = opt.update(g, state, params)
+            return (optax.apply_updates(params, up), state), loss
+
+        (params, state), losses = jax.lax.scan(
+            step, (params, state), None, length=steps
+        )
+        return params, losses
+
+    t0 = time.perf_counter()
+    params, losses = fit(op, params, state, features, y, tmask)
+    losses = np.asarray(jax.device_get(losses))
+    train_s = time.perf_counter() - t0
+    assert np.isfinite(losses[-1])
+
+    @jax.jit
+    def acc(op, params, features, y, mask):
+        return make_model(op).accuracy(params, features, y, mask)
+
+    acc_f = float(jax.device_get(acc(op, params, features, y, emask)))
+    acc_q = float(jax.device_get(acc(qop, params, features, y, emask)))
+
+    @jax.jit
+    def infer_chain(operator, params, features):
+        mm = make_model(operator)
+
+        def body(carry, _):
+            logits = mm.apply(params, carry)
+            # data dependency so XLA cannot CSE the repeats
+            carry = carry * (1.0 + 1e-6 * jnp.tanh(jnp.mean(logits)))
+            return carry, ()
+
+        out, _ = jax.lax.scan(body, features, None, length=iters)
+        return jnp.mean(out ** 2)
+
+    n_spmm = K - 1
+    out = {"model": f"NodeClassifier K={K} Fin={C} classes={n_classes}",
+           "train_steps": steps,
+           "train_s_incl_compile": round(train_s, 2),
+           "test_acc_f32": round(acc_f, 4),
+           "test_acc_int8": round(acc_q, 4),
+           "acc_delta_int8": round(acc_q - acc_f, 4)}
+    for name, o in (("f32", op), ("int8", qop)):
+        s = float(jax.device_get(infer_chain(o, params, features)))
+        assert np.isfinite(s)
+        t0 = time.perf_counter()
+        jax.device_get(infer_chain(o, params, features))
+        dt = (time.perf_counter() - t0) / iters
+        out[f"inference_ms_{name}"] = round(dt * 1000, 2)
+        out[f"model_edges_per_s_{name}"] = round(
+            op.nnz * n_spmm / dt / 1e9, 4
+        )
+    return out
+
+
 def _big_graph_spmm(side=224, K=25, C=512, outer=4):
     """Production-scale config: ~50k-node planar city-like graph (jittered
     grid, 8-NN, RCM-ordered — the humanflow domain at metropolitan scale),
@@ -138,7 +251,7 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
     from cnn_graph_tpu.utils.profiling import spmm_roofline
 
     rng = np.random.default_rng(0)
-    L, _ = city_graph(side, k=8, seed=0)
+    L, positions = city_graph(side, k=8, seed=0)
     op = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
     X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
 
@@ -207,6 +320,14 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
 
     dt_q = timed(chain_q, qop, X)
 
+    # End-to-end serving through the user-facing model path (accuracy
+    # delta + model-level throughput); guarded so a compile hiccup can't
+    # take the whole section down.
+    try:
+        serving = _serving_section(L, positions, op, qop, K=K, C=C)
+    except Exception as e:  # noqa: BLE001 — degrade, don't die
+        serving = {"status": "failed", "error": repr(e)[:200]}
+
     best = ("int8_inference", dt_q) if dt_q < dt_bf16 else (
         "bf16_training", dt_bf16)
     return {
@@ -217,6 +338,7 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
         "nnz": int(op.nnz),
         "bf16": report(op, dt_bf16, "bfloat16"),
         "int8": report(qop, dt_q, "int8"),
+        "serving": serving,
         "config": "planar 50k-node city graph, 8-NN, RCM, K=25 recurrence",
     }
 

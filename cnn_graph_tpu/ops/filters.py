@@ -62,6 +62,32 @@ def _pad_nodes(x: jax.Array, m_padded: int) -> jax.Array:
     return jnp.pad(x, [(0, m_padded - m)] + [(0, 0)] * (x.ndim - 1))
 
 
+def _cheby_basis_quant(x: jax.Array, L, K: int) -> jax.Array:
+    """Quantized-carry Chebyshev basis for a QuantBandedLaplacian.
+
+    The activation scale is computed AT RUNTIME from ``max|x|`` (one
+    cheap reduce) — the kernel's epilogue works in input-scale units, so
+    the scale never enters the kernel and no calibration pass is needed.
+    One quantize in, K-1 int8-resident hops at the MXU int8 rate, one
+    dequantize out (to ``x.dtype``) for the tap matmul.
+    """
+    B, M, F = x.shape
+    xt = _pad_nodes(jnp.transpose(x, (1, 2, 0)).reshape(M, F * B),
+                    L.m_padded).astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xt)), 1e-30) * (L.headroom / 127.0)
+    xq = L.quantize(xt, scale=s_x)
+
+    basis = [xq]
+    if K > 1:
+        basis.append(L.spmm_q(xq))
+    for _ in range(2, K):
+        basis.append(L.cheby_hop_q(basis[-1], basis[-2]))
+
+    stacked = jnp.stack(basis)[:, :M]  # [K, M, F*B] int8
+    stacked = L.dequantize(stacked, x.dtype, scale=s_x)
+    return jnp.transpose(stacked.reshape(K, M, F, B), (0, 3, 1, 2))
+
+
 def cheby_basis(x: jax.Array, L: LaplacianOperator, K: int) -> jax.Array:
     """Stacked Chebyshev basis ``T_k(L) x`` for k < K.
 
@@ -70,8 +96,12 @@ def cheby_basis(x: jax.Array, L: LaplacianOperator, K: int) -> jax.Array:
     The recurrence ``T_k = 2 L T_{k-1} - T_{k-2}`` (graphs.construction.
     chebyshev_basis is the NumPy oracle) runs on the node axis with the
     feature*batch axes flattened into the lane dimension, so each hop is a
-    single wide matmul rather than a batched loop.
+    single wide matmul rather than a batched loop.  Quantized operators
+    (``cheby_hop_q`` protocol) run the recurrence on int8-resident
+    carries — the inference/serving path (DESIGN.md §11).
     """
+    if hasattr(L, "cheby_hop_q"):
+        return _cheby_basis_quant(x, L, K)
     B, M, F = x.shape
     compute_dtype = getattr(L, "compute_dtype", x.dtype)
     xt = _pad_nodes(jnp.transpose(x, (1, 2, 0)).reshape(M, F * B), L.m_padded)

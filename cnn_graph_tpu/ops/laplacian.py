@@ -271,7 +271,8 @@ class BCOOLaplacian(ChebyHopMixin):
     jax.tree_util.register_dataclass,
     data_fields=["band", "base"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "ring_slots",
-                 "rows_per_step", "use_pallas", "band_scale", "act_scale"],
+                 "rows_per_step", "use_pallas", "band_scale", "act_scale",
+                 "headroom"],
 )
 @dataclasses.dataclass(frozen=True)
 class QuantBandedLaplacian:
@@ -279,17 +280,23 @@ class QuantBandedLaplacian:
 
     The band is symmetric-quantized with ONE global scale
     ``band_scale = max|L| / 127`` (the spectral rescale bounds entries
-    uniformly); activations ride a FIXED scale ``act_scale`` across the
-    whole Chebyshev recurrence, valid because |T_k(lambda)| <= 1 on the
-    rescaled spectrum keeps the carries in the input's range (headroom
-    factor in ``quantize_banded``).  Taps then accumulate in pure int32
-    at the MXU's int8 rate — measured 95.7 TOP/s per tap vs 73 TFLOP/s
-    bf16 (experiments/_probe.py mxu; DESIGN.md §11); per-tap float rescaling would
-    cost 13% and is avoided by the shared scale.
+    uniformly); activations ride ONE scale ``s_x`` across the whole
+    Chebyshev recurrence, valid because |T_k(lambda)| <= 1 on the
+    rescaled spectrum keeps the carries near the input's range (the
+    ``headroom`` factor absorbs the rest).  Crucially ``s_x`` never
+    enters the kernel — the emission epilogue is ``y/s_x = band_scale *
+    acc`` in input-scale units — so callers may pass a TRACED per-call
+    scale (``ops.filters.cheby_basis`` computes ``max|x|`` at runtime;
+    no calibration pass needed).  Taps accumulate in pure int32 at the
+    MXU's int8 rate — measured 95.7 TOP/s per tap vs 73 TFLOP/s bf16
+    (experiments/_probe.py mxu; DESIGN.md §11); per-tap float rescaling
+    would cost 13% and is avoided by the shared scale.
 
     Inference-only: no VJP (train in bf16/f32, quantize for serving).
     The recurrence runs on int8 carries via ``cheby_hop_q``; ``matmul``
-    offers a float-in/float-out view for drop-in parity checks.
+    offers a float-in/float-out view for drop-in parity checks, and the
+    ``cheby_hop_q``/``spmm_q`` protocol plugs into ``ops.cheby_conv``
+    (and therefore ChebNet / NodeClassifier inference) directly.
     """
 
     band: jax.Array   # [nbr, W, br, bc] int8
@@ -302,7 +309,8 @@ class QuantBandedLaplacian:
     rows_per_step: int
     use_pallas: bool
     band_scale: float  # dequant scale of the band
-    act_scale: float   # fixed activation scale (quantize/dequantize)
+    act_scale: float   # default activation scale (quantize/dequantize)
+    headroom: float = 2.0  # saturation margin for recurrence carries
 
     @property
     def band_width(self):
@@ -312,13 +320,14 @@ class QuantBandedLaplacian:
     def compute_dtype(self):
         return self.band.dtype
 
-    def quantize(self, x: jax.Array) -> jax.Array:
-        return jnp.clip(jnp.round(x / self.act_scale), -127, 127).astype(
-            jnp.int8
-        )
+    def quantize(self, x: jax.Array, scale=None) -> jax.Array:
+        s = self.act_scale if scale is None else scale
+        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
 
-    def dequantize(self, q: jax.Array, dtype=jnp.float32) -> jax.Array:
-        return (q.astype(jnp.float32) * self.act_scale).astype(dtype)
+    def dequantize(self, q: jax.Array, dtype=jnp.float32,
+                   scale=None) -> jax.Array:
+        s = self.act_scale if scale is None else scale
+        return (q.astype(jnp.float32) * s).astype(dtype)
 
     def _call(self, x_q: jax.Array, x0_q: jax.Array | None) -> jax.Array:
         if self.use_pallas:
@@ -386,6 +395,7 @@ def quantize_banded(op: BandedLaplacian, headroom: float = 2.0,
         use_pallas=op.use_pallas,
         band_scale=s_b,
         act_scale=float(sample_x) * headroom / 127.0,
+        headroom=headroom,
     )
 
 

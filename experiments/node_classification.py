@@ -70,6 +70,10 @@ def main():
                    help="sharded operator: banded ring-ppermute halo "
                         "(RCM city graphs) or general block-sparse "
                         "all_to_all halo")
+    p.add_argument("--int8", action="store_true",
+                   help="after f32 training, quantize the operator to the "
+                        "int8 banded serving path and report the accuracy "
+                        "delta + inference timing (single chip only)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -176,6 +180,51 @@ def main():
           f"({wall / args.steps * 1000:.1f} ms/step incl. compile)")
     print(f"loss {losses[0]:.3f} -> {losses[-1]:.3f} | "
           f"train acc {train_acc:.3f} | test acc {test_acc:.3f}")
+
+    if args.int8:
+        # Serving path: quantize the trained graph operator to int8 and
+        # run the SAME model/params through it (cheby_conv dispatches on
+        # the quantized protocol; DESIGN.md §11).  Reports the accuracy
+        # delta vs f32 and steady-state inference time.
+        assert mesh is None, "--int8 is the single-chip serving path"
+        from cnn_graph_tpu.ops import quantize_banded
+        from cnn_graph_tpu.ops.laplacian import BandedLaplacian
+
+        band_op = (op if isinstance(op, BandedLaplacian)
+                   else device_laplacian(L, fmt="banded"))
+        qop = quantize_banded(band_op,
+                              sample_x=float(np.abs(fp).max()))
+        int8_acc = float(masked_accuracy(qop, params, features, y,
+                                         jnp.asarray(test_mask)))
+        print(f"int8 test acc {int8_acc:.4f} "
+              f"(delta vs f32 {int8_acc - test_acc:+.4f})")
+
+        n_spmm = (len(args.hidden) + 1) * (args.K - 1)
+        iters = 20
+
+        @jax.jit
+        def infer_chain(operator, params, features):
+            m = make_model(operator)
+
+            def body(carry, _):
+                logits = m.apply(params, carry)
+                # fold the output back into the input so the chain is
+                # data-dependent (XLA would CSE independent repeats)
+                carry = carry * (1.0 + 1e-6 * jnp.tanh(jnp.mean(logits)))
+                return carry, ()
+
+            out, _ = jax.lax.scan(body, features, None, length=iters)
+            return jnp.mean(out ** 2)
+
+        for name, o in (("f32 ", op), ("int8", qop)):
+            s = float(jax.device_get(infer_chain(o, params, features)))
+            assert np.isfinite(s)
+            t0 = time.time()
+            jax.device_get(infer_chain(o, params, features))
+            dt = (time.time() - t0) / iters
+            print(f"{name} inference {dt * 1000:7.2f} ms/graph  "
+                  f"{op.nnz * n_spmm / dt / 1e9:6.3f} Gedges/s "
+                  f"({n_spmm} spmm/inference)")
 
 
 class _null_ctx:
