@@ -13,6 +13,7 @@ from cnn_graph_tpu.ops.laplacian import (
     DenseLaplacian,
     device_laplacian,
     pack_banded,
+    pack_banded_ragged,
     pack_block_sparse,
     QuantBandedLaplacian,
     quantize_banded,
@@ -30,6 +31,7 @@ __all__ = [
     "DenseLaplacian",
     "device_laplacian",
     "pack_banded",
+    "pack_banded_ragged",
     "pack_block_sparse",
     "QuantBandedLaplacian",
     "quantize_banded",

@@ -48,6 +48,8 @@ __all__ = [
     "device_laplacian",
     "pack_block_sparse",
     "pack_banded",
+    "pack_banded_ragged",
+    "choose_band_levels",
 ]
 
 MXU_TILE = 128
@@ -178,11 +180,37 @@ class BlockSparseLaplacian(ChebyHopMixin):
         return yb.reshape(x.shape).astype(x.dtype)
 
 
+def _ragged_fallback_windows(band, base, sched, levels, G, block_shape,
+                             m_padded, x, acc_dtype):
+    """XLA oracle for the ragged banded layout: a static Python loop over
+    super-steps, each an einsum over that step's ``[G, W_s, br, bc]``
+    slab.  ``sched``/``levels`` are static metadata, so this traces to
+    nsb fused einsums — fine for the CPU tests and as the gradient-able
+    fallback; the Pallas kernel is the production path."""
+    br, bc = block_shape
+    offs, lvl_idx, _ = sched
+    n_cb = x.shape[0] // bc
+    xb = x.reshape(n_cb, bc, -1)
+    outs = []
+    for s in range(len(offs)):
+        w = levels[lvl_idx[s]]
+        blk = band[offs[s]: offs[s] + G * w].reshape(G, w, br, bc)
+        cols = base[s * G:(s + 1) * G][:, None] + jnp.arange(w)[None, :]
+        # Clamp: a level wider than a row's true span can peek past the
+        # last column block; the band there is zero, so the clamped
+        # window contributes nothing.
+        wins = jnp.take(xb, jnp.minimum(cols, n_cb - 1), axis=0)
+        y = jnp.einsum("gwab,gwbc->gac", blk, wins,
+                       preferred_element_type=acc_dtype)
+        outs.append(y.reshape(G * br, -1))
+    return jnp.concatenate(outs, axis=0)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["band", "base"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "ring_slots",
-                 "rows_per_step", "use_pallas"],
+                 "rows_per_step", "use_pallas", "sched", "levels"],
 )
 @dataclasses.dataclass(frozen=True)
 class BandedLaplacian(ChebyHopMixin):
@@ -199,9 +227,18 @@ class BandedLaplacian(ChebyHopMixin):
     suffix-min), which the kernel's fetch bookkeeping relies on.
     ``ring_slots`` sizes the kernel's x ring buffer
     (>= W + max step between consecutive bases).
+
+    RAGGED mode (``levels`` non-empty, built by ``pack_banded_ragged``):
+    the band is stored FLAT ``[total_blocks, br, bc]`` and each G-row
+    super-step carries its own width W_s from the static ``levels``
+    palette — cutting the ~20% of band FLOPs the uniform max-width pads
+    in (DESIGN.md §12).  ``sched`` is the static ``(offsets,
+    level_indices, column_high_water)`` schedule, stored as metadata so
+    the XLA fallback can trace it and the kernel gets it as a tiny
+    constant scalar-prefetch array.
     """
 
-    band: jax.Array  # [nbr, W, br, bc]
+    band: jax.Array  # [nbr, W, br, bc], or [total, br, bc] when ragged
     base: jax.Array  # [nbr] int32, monotone non-decreasing
     m: int
     m_padded: int
@@ -210,10 +247,12 @@ class BandedLaplacian(ChebyHopMixin):
     ring_slots: int
     rows_per_step: int  # block-rows per kernel grid step (G)
     use_pallas: bool
+    sched: tuple = ()   # ragged: ((off...), (lvl_idx...), (hiwater...))
+    levels: tuple = ()  # ragged: ascending distinct super-step widths
 
     @property
     def band_width(self):
-        return self.band.shape[1]
+        return self.levels[-1] if self.levels else self.band.shape[1]
 
     @property
     def compute_dtype(self):
@@ -232,12 +271,19 @@ class BandedLaplacian(ChebyHopMixin):
             from cnn_graph_tpu.ops.pallas_band import band_spmm
 
             return band_spmm(self, x)
+        # float32 accumulation matches the Pallas kernel's accumulator,
+        # so these fallbacks stay valid oracles for bf16 operands.
+        if self.levels:
+            y = _ragged_fallback_windows(
+                self.band, self.base, self.sched, self.levels,
+                self.rows_per_step, self.block_shape, self.m_padded, x,
+                jnp.float32,
+            )
+            return y.astype(x.dtype)
         nbr, W, br, bc = self.band.shape
         xb = x.reshape(self.m_padded // bc, bc, -1)
         cols = self.base[:, None] + jnp.arange(W)[None, :]  # [nbr, W]
         wins = jnp.take(xb, cols, axis=0)  # [nbr, W, bc, C]
-        # float32 accumulation matches the Pallas kernel's accumulator,
-        # so this fallback stays a valid oracle for bf16 operands.
         y = jnp.einsum(
             "iwab,iwbc->iac", self.band, wins,
             preferred_element_type=jnp.float32,
@@ -272,7 +318,7 @@ class BCOOLaplacian(ChebyHopMixin):
     data_fields=["band", "base"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "ring_slots",
                  "rows_per_step", "use_pallas", "band_scale", "act_scale",
-                 "headroom"],
+                 "headroom", "sched", "levels"],
 )
 @dataclasses.dataclass(frozen=True)
 class QuantBandedLaplacian:
@@ -311,10 +357,12 @@ class QuantBandedLaplacian:
     band_scale: float  # dequant scale of the band
     act_scale: float   # default activation scale (quantize/dequantize)
     headroom: float = 2.0  # saturation margin for recurrence carries
+    sched: tuple = ()   # ragged schedule (see BandedLaplacian)
+    levels: tuple = ()
 
     @property
     def band_width(self):
-        return self.band.shape[1]
+        return self.levels[-1] if self.levels else self.band.shape[1]
 
     @property
     def compute_dtype(self):
@@ -331,8 +379,18 @@ class QuantBandedLaplacian:
 
     def _call(self, x_q: jax.Array, x0_q: jax.Array | None) -> jax.Array:
         if self.use_pallas:
-            from cnn_graph_tpu.ops.pallas_band import banded_call
+            from cnn_graph_tpu.ops.pallas_band import (
+                banded_call, banded_call_ragged,
+            )
 
+            if self.levels:
+                return banded_call_ragged(
+                    self.band, self.base,
+                    jnp.asarray(np.asarray(self.sched, np.int32)),
+                    x_q, x0_q, levels=self.levels, ring=self.ring_slots,
+                    G=self.rows_per_step, out_rows=self.m_padded,
+                    band_scale=self.band_scale,
+                )
             return banded_call(
                 self.band, self.base, x_q, x0_q, ring=self.ring_slots,
                 G=self.rows_per_step, out_rows=self.m_padded,
@@ -340,14 +398,22 @@ class QuantBandedLaplacian:
             )
         # XLA fallback mirrors the kernel's integer arithmetic exactly:
         # int32 window taps, dequant + round at emission.
-        nbr, W, br, bc = self.band.shape
-        xb = x_q.reshape(self.m_padded // bc, bc, -1)
-        cols = self.base[:, None] + jnp.arange(W)[None, :]
-        wins = jnp.take(xb, cols, axis=0)
-        acc = jnp.einsum(
-            "iwab,iwbc->iac", self.band, wins,
-            preferred_element_type=jnp.int32,
-        ).reshape(x_q.shape)
+        if self.levels:
+            acc = _ragged_fallback_windows(
+                self.band, self.base, self.sched, self.levels,
+                self.rows_per_step, self.block_shape, self.m_padded, x_q,
+                jnp.int32,
+            )
+        else:
+            nbr, W, br, bc = self.band.shape
+            xb = x_q.reshape(self.m_padded // bc, bc, -1)
+            cols = self.base[:, None] + jnp.arange(W)[None, :]
+            wins = jnp.take(xb, cols, axis=0)
+            acc = jnp.einsum(
+                "iwab,iwbc->iac", self.band, wins,
+                preferred_element_type=jnp.int32,
+            ).reshape(x_q.shape)
+        acc = acc.reshape(x_q.shape)
         y = self.band_scale * acc.astype(jnp.float32)
         if x0_q is not None:
             y = 2.0 * y - x0_q.astype(jnp.float32)
@@ -396,6 +462,8 @@ def quantize_banded(op: BandedLaplacian, headroom: float = 2.0,
         band_scale=s_b,
         act_scale=float(sample_x) * headroom / 127.0,
         headroom=headroom,
+        sched=op.sched,
+        levels=op.levels,
     )
 
 
@@ -472,6 +540,7 @@ def pack_banded(L: scipy.sparse.spmatrix,
                 max_band_width: int = 48,
                 rows_per_step: int | None = None,
                 elem_bytes: int = 2,
+                act_bytes: int | None = None,
                 stats: tuple | None = None,
                 row_multiple: int | None = None,
                 band_dtype=np.float32):
@@ -499,7 +568,7 @@ def pack_banded(L: scipy.sparse.spmatrix,
             "RCM-reorder the graph or use fmt='bsr'"
         )
     if rows_per_step is None:
-        G = auto_rows_per_step(base, W, br, bc, elem_bytes)
+        G = auto_rows_per_step(base, W, br, bc, elem_bytes, act_bytes)
     else:
         G = rows_per_step
     # Pad rows so the grid is whole super-steps (and keep bc | mp for the
@@ -524,6 +593,104 @@ def pack_banded(L: scipy.sparse.spmatrix,
         coo.data.astype(band.dtype)
     )
     return band, base, ring, G, mp
+
+
+def choose_band_levels(ws, max_levels: int = 4) -> tuple:
+    """Pick <= ``max_levels`` width levels (always including the max)
+    minimizing total padded band blocks when every super-step width in
+    ``ws`` is rounded UP to its level.  Exhaustive over the distinct
+    widths (band widths are <= max_band_width, so this is tiny)."""
+    import itertools
+
+    uniq, cnt = np.unique(np.asarray(ws, np.int64), return_counts=True)
+    if len(uniq) <= max_levels:
+        return tuple(int(u) for u in uniq)
+    best = None
+    for combo in itertools.combinations(range(len(uniq) - 1),
+                                        max_levels - 1):
+        lv = np.concatenate([uniq[list(combo)], uniq[-1:]])
+        cost = int((cnt * lv[np.searchsorted(lv, uniq)]).sum())
+        if best is None or cost < best[0]:
+            best = (cost, lv)
+    return tuple(int(v) for v in best[1])
+
+
+def pack_banded_ragged(L: scipy.sparse.spmatrix,
+                       block_shape: tuple = (MXU_TILE, MXU_TILE),
+                       max_band_width: int = 48,
+                       rows_per_step: int | None = None,
+                       elem_bytes: int = 2,
+                       act_bytes: int | None = None,
+                       stats: tuple | None = None,
+                       max_levels: int = 4,
+                       band_dtype=np.float32):
+    """Pack a block-banded sparse matrix with PER-SUPER-STEP widths.
+
+    Like ``pack_banded``, but each G-block-row super-step stores only
+    ``W_s = max span within the step`` diagonal blocks (rounded up to
+    one of <= ``max_levels`` static width levels), laid out flat.  Cuts
+    ~20% of the band FLOPs/bytes that the uniform max-width layout pads
+    in on the 50k/100k city graphs (measured; DESIGN.md §12).
+
+    Returns ``(band_flat, base, sched, levels, ring, G, m_padded)``
+    where ``sched`` is the static int32 schedule ``(offsets,
+    level_indices, column_high_water)`` as tuples and ``band_flat`` is
+    ``[sum_s G*W_s, br, bc]``.
+    """
+    from cnn_graph_tpu.ops.pallas_band import PREFETCH_AHEAD
+
+    br, bc = block_shape
+    base, W, _, mp = stats if stats is not None else band_stats(
+        L, block_shape
+    )
+    if W > max_band_width:
+        raise ValueError(
+            f"band width {W} blocks exceeds {max_band_width}; "
+            "RCM-reorder the graph or use fmt='bsr'"
+        )
+    G = (auto_rows_per_step(base, W, br, bc, elem_bytes, act_bytes)
+         if rows_per_step is None else rows_per_step)
+    mp = _round_up(mp, int(np.lcm(G * br, bc)))
+    n_rb = mp // br
+    n_cb = mp // bc
+    base = np.concatenate(
+        [base, np.full(n_rb - len(base), base[-1], np.int32)]
+    )
+    nsb = n_rb // G
+
+    coo = L.tocoo()
+    brow = coo.row // br
+    hi = np.full(n_rb, -1, np.int64)
+    np.maximum.at(hi, brow, coo.col // bc)
+    span = np.maximum(hi - base.astype(np.int64) + 1, 1)
+    ws = span.reshape(nsb, G).max(axis=1)
+    levels = choose_band_levels(ws, max_levels)
+    lvl_idx = np.searchsorted(np.asarray(levels), ws).astype(np.int64)
+    wl = np.asarray(levels, np.int64)[lvl_idx]
+    offs = np.zeros(nsb, np.int64)
+    offs[1:] = np.cumsum(G * wl)[:-1]
+    total = int((G * wl).sum())
+
+    band = np.zeros((total, br, bc), np.dtype(band_dtype))
+    s_of_row = brow // G
+    pos = (offs[s_of_row] + (brow % G) * wl[s_of_row]
+           + (coo.col // bc - base[brow]))
+    band[pos, coo.row % br, coo.col % bc] = coo.data.astype(band.dtype)
+
+    # Monotone column high-water after each step, clamped to the column
+    # count (levels wider than a row's true span may peek past the edge;
+    # those band blocks are zero, and the clamp keeps x fetches in
+    # bounds — the kernel's ring reads for clamped columns multiply
+    # zero blocks).
+    step_hi = base[(np.arange(nsb) + 1) * G - 1].astype(np.int64) + wl
+    hw = np.minimum(np.maximum.accumulate(step_hi), n_cb)
+    started = hw[np.minimum(np.arange(nsb) + PREFETCH_AHEAD, nsb - 1)]
+    ring = int((started - base[np.arange(nsb) * G]).max()) + 1
+
+    sched = (tuple(int(v) for v in offs),
+             tuple(int(v) for v in lvl_idx),
+             tuple(int(v) for v in hw))
+    return band, base, sched, levels, ring, G, mp
 
 
 def choose_block_shape(
@@ -600,6 +767,8 @@ def device_laplacian(
     dense_threshold: int = 2048,
     rows_per_step: int | None = None,
     chunked_rows: bool = False,
+    ragged: bool = True,
+    act_bytes: int | None = None,
 ) -> LaplacianOperator:
     """Build a device operator for the (rescaled) Laplacian.
 
@@ -609,7 +778,10 @@ def device_laplacian(
     choice via ``choose_block_shape`` — short-wide tiles for banded graphs,
     square for scattered ones).  ``rescale`` applies the spectral map
     ``2 L / lmax - I`` (the reference rescales inside every filter call,
-    graph_conv.py:148-149; we do it once here).
+    graph_conv.py:148-149; we do it once here).  ``ragged`` (banded
+    format only, default on) packs per-super-step band widths instead of
+    the global max — ~20% fewer band FLOPs/bytes on city graphs
+    (DESIGN.md §12); pass False to force the uniform layout.
     """
     if rescale:
         L = rescale_laplacian(L, lmax=lmax)
@@ -664,11 +836,21 @@ def device_laplacian(
             if isinstance(block_size, int)
             else tuple(block_size)
         )
-        band, base, ring, G, mp = pack_banded(
-            L, block_shape, rows_per_step=rows_per_step,
-            elem_bytes=jnp.dtype(dtype).itemsize,
-            stats=_stats, band_dtype=np.dtype(dtype),
-        )
+        if ragged:
+            band, base, sched, levels, ring, G, mp = pack_banded_ragged(
+                L, block_shape, rows_per_step=rows_per_step,
+                elem_bytes=jnp.dtype(dtype).itemsize,
+                act_bytes=act_bytes, stats=_stats,
+                band_dtype=np.dtype(dtype),
+            )
+        else:
+            band, base, ring, G, mp = pack_banded(
+                L, block_shape, rows_per_step=rows_per_step,
+                elem_bytes=jnp.dtype(dtype).itemsize,
+                act_bytes=act_bytes, stats=_stats,
+                band_dtype=np.dtype(dtype),
+            )
+            sched, levels = (), ()
         return BandedLaplacian(
             band=jnp.asarray(band, dtype=dtype),
             base=jnp.asarray(base),
@@ -679,6 +861,8 @@ def device_laplacian(
             ring_slots=ring,
             rows_per_step=G,
             use_pallas=use_pallas,
+            sched=sched,
+            levels=levels,
         )
 
     if fmt == "bsr":

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["band_spmm", "band_cheby_hop", "banded_call",
-           "PREFETCH_AHEAD", "ROWS_PER_STEP"]
+           "banded_call_ragged", "PREFETCH_AHEAD", "ROWS_PER_STEP"]
 
 PREFETCH_AHEAD = 1  # super-steps of DMA lookahead (NB = PA + 1 band slabs
 # in VMEM); one super-step ahead is G block-rows of in-flight transfers.
@@ -155,7 +155,9 @@ def _kernel(base_ref, band_ref, x_ref, *rest,
     def _():
         wait_cols(hi(s - 1), hi(s))
 
-    # G block-rows x W dense MXU taps against the ring window.
+    # G block-rows x W dense MXU taps against the ring window.  The
+    # emission epilogue (fused hop update; int8 dequant/requant in
+    # input-scale units) is shared with the ragged kernel (_emit_row).
     for g in range(G):
         base_g = base_ref[s * G + g]
         acc = jnp.zeros((br, tc), acc_dt)
@@ -165,26 +167,202 @@ def _kernel(base_ref, band_ref, x_ref, *rest,
                 xring[jax.lax.rem(base_g + d, R)],
                 preferred_element_type=acc_dt,
             )
-        if quant:
-            # Dequant epilogue: acc represents (L@x) / (s_B * s_x); the
-            # output rides the SAME fixed activation scale s_x, so
-            # y/s_x = s_B*acc (SpMM) or 2*s_B*acc - x0_i8 (hop).
-            y = band_scale * acc.astype(jnp.float32)
-            if hop:
-                y = 2.0 * y - x0_ref[g * br:(g + 1) * br, :].astype(
-                    jnp.float32
-                )
-            y_ref[g * br:(g + 1) * br, :] = jnp.clip(
-                jnp.round(y), -127.0, 127.0
-            ).astype(y_ref.dtype)
-            continue
+        _emit_row(y_ref, x0_ref, acc, g, br, hop, quant, band_scale)
+
+
+def _emit_row(y_ref, x0_ref, acc, g, br, hop, quant, band_scale):
+    """Per-block-row emission epilogue shared by the uniform and ragged
+    kernels: fused hop update and (for the int8 path) dequant/requant in
+    input-scale units."""
+    if quant:
+        y = band_scale * acc.astype(jnp.float32)
         if hop:
-            # Fused Chebyshev recurrence update: saves the separate XLA
-            # elementwise pass (3 full-activation HBM transfers per hop).
-            acc = 2.0 * acc - x0_ref[g * br:(g + 1) * br, :].astype(
-                jnp.float32
-            )
-        y_ref[g * br:(g + 1) * br, :] = acc.astype(y_ref.dtype)
+            y = 2.0 * y - x0_ref[g * br:(g + 1) * br, :].astype(jnp.float32)
+        y_ref[g * br:(g + 1) * br, :] = jnp.clip(
+            jnp.round(y), -127.0, 127.0
+        ).astype(y_ref.dtype)
+        return
+    if hop:
+        acc = 2.0 * acc - x0_ref[g * br:(g + 1) * br, :].astype(jnp.float32)
+    y_ref[g * br:(g + 1) * br, :] = acc.astype(y_ref.dtype)
+
+
+def _kernel_ragged(base_ref, sched_ref, band_ref, x_ref, *rest,
+                   levels, br, bc, tc, R, G, hop, band_scale=None):
+    """Ragged-width variant of ``_kernel``: the band is stored flat
+    ``[total_blocks, br, bc]`` and each row-super-step ``s`` carries
+    ``G * W_s`` blocks, where ``W_s`` is one of the static ``levels``
+    (host-chosen to minimize padding; DESIGN.md §12).  ``sched_ref`` is
+    the scalar-prefetched int32 schedule ``[3, nsb]``:
+
+      row 0 — block offset of step s's slab in the flat band;
+      row 1 — level INDEX of W_s (branch selector);
+      row 2 — monotone column high-water mark after step s (precomputed
+              host-side, clamped to the column count — replaces the
+              in-kernel ``base[...] + W`` of the uniform kernel).
+
+    All branching is per SUPER-STEP (one branch per G*W_s MXU taps), so
+    the per-tap predication cost that killed in-kernel raggedness
+    (DESIGN.md §11) is amortized away.  Levels are compiled as separate
+    static code paths selected by ``pl.when``."""
+    if hop:
+        x0_ref, y_ref, bandbuf, xring, bsem, xsem = rest
+    else:
+        y_ref, bandbuf, xring, bsem, xsem = rest
+        x0_ref = None
+    quant = band_scale is not None
+    acc_dt = jnp.int32 if quant else jnp.float32
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    nsb = pl.num_programs(1)
+    PA = PREFETCH_AHEAD
+    last = nsb - 1
+
+    def band_dma(step, slot, lvl):
+        return pltpu.make_async_copy(
+            band_ref.at[pl.ds(sched_ref[0, step], G * lvl)],
+            bandbuf.at[slot, pl.ds(0, G * lvl)],
+            bsem.at[slot],
+        )
+
+    def for_level(step, fn):
+        for i, lvl in enumerate(levels):
+            @pl.when(sched_ref[1, step] == i)
+            def _(lvl=lvl):
+                fn(lvl)
+
+    def x_dma(col):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(col * bc, bc), pl.ds(j * tc, tc)],
+            xring.at[jax.lax.rem(col, R)],
+            xsem.at[jax.lax.rem(col, R)],
+        )
+
+    def start_cols(lo, hi):
+        jax.lax.fori_loop(lo, hi, lambda c, _: (x_dma(c).start(), 0)[1], 0)
+
+    def wait_cols(lo, hi):
+        jax.lax.fori_loop(lo, hi, lambda c, _: (x_dma(c).wait(), 0)[1], 0)
+
+    def hi(t):
+        """Monotone column high-water mark after super-step t (clamped
+        index; the value itself is precomputed and clamped host-side)."""
+        return sched_ref[2, jnp.minimum(t, last)]
+
+    base_s = base_ref[s * G]
+
+    # Stripe warm-up: fill the pipeline PA super-steps deep.
+    @pl.when(s == 0)
+    def _():
+        for t in range(min(PA, nsb)):  # nsb is static
+            for_level(t, lambda lvl, t=t: band_dma(t, t % _NB, lvl).start())
+        start_cols(base_s, hi(PA - 1))
+
+    # Per-step prefetch: slab s+PA and its newly entering x-columns.
+    @pl.when(s + PA < nsb)
+    def _():
+        for_level(s + PA, lambda lvl: band_dma(
+            s + PA, jax.lax.rem(s + PA, _NB), lvl).start())
+    start_cols(hi(s + PA - 1), hi(s + PA))
+
+    slot = jax.lax.rem(s, _NB)
+    for_level(s, lambda lvl: band_dma(s, slot, lvl).wait())
+
+    @pl.when(s == 0)
+    def _():
+        wait_cols(base_s, hi(0))
+
+    @pl.when(s > 0)
+    def _():
+        wait_cols(hi(s - 1), hi(s))
+
+    # G block-rows x W_s dense MXU taps against the ring window, one
+    # static code path per level.
+    def compute(lvl):
+        for g in range(G):
+            base_g = base_ref[s * G + g]
+            acc = jnp.zeros((br, tc), acc_dt)
+            for d in range(lvl):
+                acc += jnp.dot(
+                    bandbuf[slot, g * lvl + d],
+                    xring[jax.lax.rem(base_g + d, R)],
+                    preferred_element_type=acc_dt,
+                )
+            _emit_row(y_ref, x0_ref, acc, g, br, hop, quant, band_scale)
+
+    for_level(s, compute)
+
+
+def banded_call_ragged(band, base, sched, x, x0=None, *, levels, ring, G,
+                       out_rows, col_tile: int = 512,
+                       interpret: bool = False,
+                       band_scale: float | None = None):
+    """Ragged banded SpMM / fused-hop kernel call.
+
+    ``band``: flat ``[total_blocks, br, bc]``; ``sched``: int32 ``[3,
+    nsb]`` (offsets / level indices / column high-water marks, see
+    ``_kernel_ragged``); ``levels``: static ascending tuple of the
+    distinct per-super-step widths.  Everything else matches
+    ``banded_call``.
+    """
+    total, br, bc = band.shape
+    nsb = sched.shape[1]
+    nbr = nsb * G
+    mp = out_rows
+    R = ring
+    W_max = levels[-1]
+    assert col_tile % 128 == 0
+    C = x.shape[1]
+    tc = min(col_tile, max(128, -(-C // 128) * 128))
+    cp = -(-C // tc) * tc
+    if cp != C:
+        x = jnp.pad(x, ((0, 0), (0, cp - C)))
+        if x0 is not None:
+            x0 = jnp.pad(x0, ((0, 0), (0, cp - C)))
+    hop = x0 is not None
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # band stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+    ]
+    if hop:
+        in_specs.append(pl.BlockSpec(
+            (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
+        ))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cp // tc, nsb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_NB, G * W_max, br, bc), band.dtype),
+            pltpu.VMEM((R, bc, tc), x.dtype),
+            pltpu.SemaphoreType.DMA((_NB,)),
+            pltpu.SemaphoreType.DMA((R,)),
+        ],
+    )
+
+    operands = (base, sched, band, x) + ((x0,) if hop else ())
+    y = pl.pallas_call(
+        functools.partial(_kernel_ragged, levels=tuple(levels), br=br,
+                          bc=bc, tc=tc, R=R, G=G, hop=hop,
+                          band_scale=band_scale),
+        out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * br * bc * cp,
+            bytes_accessed=(
+                band.size * band.dtype.itemsize * (cp // tc)
+                + (3 if hop else 2) * mp * cp * x.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(*operands)
+    return y[:, :C]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -210,6 +388,15 @@ def _band_bwd(col_tile, interpret, L, g):
 
 
 def _band_call(L, x, x0, col_tile, interpret):
+    if getattr(L, "levels", ()):
+        import numpy as np
+
+        return banded_call_ragged(
+            L.band, L.base, jnp.asarray(np.asarray(L.sched, np.int32)),
+            x, x0, levels=L.levels, ring=L.ring_slots,
+            G=L.rows_per_step, out_rows=L.m_padded, col_tile=col_tile,
+            interpret=interpret,
+        )
     return banded_call(L.band, L.base, x, x0, ring=L.ring_slots,
                        G=L.rows_per_step, out_rows=L.m_padded,
                        col_tile=col_tile, interpret=interpret)

@@ -80,7 +80,11 @@ def spmm_roofline(op, seconds_per_spmm: float, feature_width: int,
     C = feature_width
     mp = op.m_padded
 
-    if hasattr(op, "band") and op.band.ndim == 4:  # banded, single chip
+    if hasattr(op, "band") and getattr(op, "levels", ()):  # ragged banded
+        total, br, bc = op.band.shape
+        op_bytes = op.band.size * e
+        flops = 2 * total * br * bc * C
+    elif hasattr(op, "band") and op.band.ndim == 4:  # banded, single chip
         nbr, W, br, bc = op.band.shape
         op_bytes = op.band.size * e
         flops = 2 * nbr * W * br * bc * C

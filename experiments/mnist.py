@@ -47,9 +47,13 @@ def main():
 
     if args.data_dir:
         tr_x, tr_y, te_x, te_y = load_mnist(args.data_dir)
+        # Reference split: 55k train / 5k val (mnist.ipynb cell 5).  For
+        # smaller drops (e.g. the IDX fixture test) fall back to 90/10
+        # with at least one validation sample.
+        n_tr = min(55000, max(len(tr_x) - max(len(tr_x) // 10, 1), 1))
         splits = {
-            "train_data": tr_x[:55000], "train_labels": tr_y[:55000],
-            "val_data": tr_x[55000:], "val_labels": tr_y[55000:],
+            "train_data": tr_x[:n_tr], "train_labels": tr_y[:n_tr],
+            "val_data": tr_x[n_tr:], "val_labels": tr_y[n_tr:],
             "test_data": te_x, "test_labels": te_y,
         }
     else:

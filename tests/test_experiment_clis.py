@@ -32,3 +32,44 @@ def test_expected_driver_set():
                 "gconv_sweep.py", "text20news.py", "rcv1.py",
                 "node_classification.py"}
     assert expected.issubset(set(EXPERIMENTS))
+
+
+def test_mnist_cli_real_data_path_end_to_end(tmp_path):
+    """The FULL real-data path of experiments/mnist.py (--data-dir ->
+    load_mnist -> graph build -> ChebNet -> Trainer fit/evaluate) runs
+    over hand-crafted IDX files, so the only untested step on the
+    MNIST-parity path is the dataset download itself (RUNBOOK.md;
+    reference: nips2016/mnist.ipynb cells 14-17)."""
+    import gzip
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+
+    def idx_bytes(arr):
+        header = struct.pack(">HBB", 0, 0x08, arr.ndim)
+        header += struct.pack(f">{arr.ndim}I", *arr.shape)
+        return header + arr.tobytes()
+
+    tr_img = rng.integers(0, 256, (48, 28, 28)).astype(np.uint8)
+    tr_lab = (np.arange(48) % 10).astype(np.uint8)
+    te_img = rng.integers(0, 256, (8, 28, 28)).astype(np.uint8)
+    te_lab = (np.arange(8) % 10).astype(np.uint8)
+    (tmp_path / "train-images-idx3-ubyte").write_bytes(idx_bytes(tr_img))
+    (tmp_path / "train-labels-idx1-ubyte").write_bytes(idx_bytes(tr_lab))
+    with gzip.open(tmp_path / "t10k-images-idx3-ubyte.gz", "wb") as f:
+        f.write(idx_bytes(te_img))
+    (tmp_path / "t10k-labels-idx1-ubyte").write_bytes(idx_bytes(te_lab))
+
+    proc = subprocess.run(
+        [sys.executable, "experiments/mnist.py",
+         "--data-dir", str(tmp_path), "--epochs", "1",
+         "--batch-size", "8", "--K", "5"],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).parent.parent,
+        env={"PATH": "/usr/bin:/bin", "CNN_GRAPH_CPU": "1",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "test" in proc.stdout, proc.stdout[-500:]

@@ -43,7 +43,7 @@ class TestBandPacking:
         assert np.all(base[brow] <= bcol) and np.all(bcol < base[brow] + W)
 
     def test_packed_band_reconstructs_matrix(self, banded_graph):
-        op = device_laplacian(banded_graph, fmt="banded", use_pallas=False)
+        op = device_laplacian(banded_graph, fmt="banded", ragged=False, use_pallas=False)
         Lr = gc.rescale_laplacian(banded_graph, 2.0)
         band = np.asarray(op.band)
         base = np.asarray(op.base)
@@ -224,7 +224,7 @@ class TestExtendedColumnMode:
     def test_shifted_base_matches_unshifted(self, banded_graph):
         from cnn_graph_tpu.ops.pallas_band import banded_call
 
-        op = device_laplacian(banded_graph, fmt="banded", use_pallas=False)
+        op = device_laplacian(banded_graph, fmt="banded", ragged=False, use_pallas=False)
         rng = np.random.default_rng(11)
         C = 256
         x = rng.normal(size=(op.m_padded, C)).astype(np.float32)
@@ -253,7 +253,7 @@ class TestExtendedColumnMode:
     def test_shifted_base_fused_hop(self, banded_graph):
         from cnn_graph_tpu.ops.pallas_band import banded_call
 
-        op = device_laplacian(banded_graph, fmt="banded", use_pallas=False)
+        op = device_laplacian(banded_graph, fmt="banded", ragged=False, use_pallas=False)
         rng = np.random.default_rng(12)
         C, off = 128, 2
         x = rng.normal(size=(op.m_padded, C)).astype(np.float32)
@@ -280,7 +280,7 @@ class TestQuantizedBand:
     def qsetup(self, banded_graph):
         from cnn_graph_tpu.ops import quantize_banded
 
-        op = device_laplacian(banded_graph, fmt="banded", use_pallas=False)
+        op = device_laplacian(banded_graph, fmt="banded", ragged=False, use_pallas=False)
         rng = np.random.default_rng(13)
         x = rng.normal(size=(op.m_padded, 128)).astype(np.float32)
         x[op.m:] = 0
@@ -347,3 +347,113 @@ class TestQuantizedBand:
         rel = (np.linalg.norm(got[: op.m] - want[: op.m])
                / np.linalg.norm(want[: op.m]))
         assert rel < 0.15, rel
+
+
+class TestRaggedBand:
+    """Ragged per-super-step band widths (pack_banded_ragged +
+    _kernel_ragged): packing reconstruction, fallback-vs-scipy,
+    interpret-kernel parity, gradients, and the quantized twin.
+    DESIGN.md §12."""
+
+    @pytest.fixture(scope="class")
+    def rop(self, banded_graph):
+        return device_laplacian(banded_graph, fmt="banded",
+                                use_pallas=False)  # ragged is the default
+
+    def test_ragged_is_default_and_saves_blocks(self, banded_graph, rop):
+        uni = device_laplacian(banded_graph, fmt="banded", ragged=False,
+                               use_pallas=False)
+        assert rop.levels, "banded default should pack ragged"
+        assert rop.band.ndim == 3
+        assert rop.band.shape[0] <= uni.band.shape[0] * uni.band.shape[1]
+
+    def test_ragged_pack_reconstructs_matrix(self, banded_graph, rop):
+        Lr = gc.rescale_laplacian(banded_graph, 2.0).toarray()
+        br, bc = rop.block_shape
+        G = rop.rows_per_step
+        offs, lvl_idx, _ = rop.sched
+        band = np.asarray(rop.band)
+        base = np.asarray(rop.base)
+        dense = np.zeros((rop.m_padded, rop.m_padded), np.float32)
+        for s in range(len(offs)):
+            w = rop.levels[lvl_idx[s]]
+            blk = band[offs[s]: offs[s] + G * w].reshape(G, w, br, bc)
+            for g in range(G):
+                r0 = (s * G + g) * br
+                for d in range(w):
+                    c0 = (base[s * G + g] + d) * bc
+                    if c0 < rop.m_padded:
+                        dense[r0:r0 + br, c0:c0 + bc] += blk[g, d]
+        np.testing.assert_allclose(dense[: rop.m, : rop.m], Lr, atol=1e-6)
+
+    def test_ragged_fallback_matches_scipy(self, banded_graph, rop):
+        rng = np.random.default_rng(21)
+        C = 64
+        x = rng.normal(size=(rop.m_padded, C)).astype(np.float32)
+        got = np.asarray(jax.jit(lambda o, v: o.matmul(v))(
+            rop, jnp.asarray(x)))
+        Lr = gc.rescale_laplacian(banded_graph, 2.0)
+        want = Lr @ x[: rop.m]
+        np.testing.assert_allclose(got[: rop.m], want, atol=1e-4)
+
+    def test_ragged_interpret_kernel_matches_fallback(self, rop):
+        from cnn_graph_tpu.ops.pallas_band import band_cheby_hop, band_spmm
+
+        rng = np.random.default_rng(22)
+        C = 192  # forces column padding too
+        x = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+        x0 = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(band_spmm(rop, x, 512, True)),
+            np.asarray(rop.matmul(x)), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(band_cheby_hop(rop, x, x0, 512, True)),
+            np.asarray(2.0 * rop.matmul(x) - x0), atol=1e-4)
+
+    def test_ragged_gradients_symmetric_adjoint(self, rop):
+        from cnn_graph_tpu.ops.pallas_band import band_cheby_hop
+
+        rng = np.random.default_rng(23)
+        C = 128
+        x = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+        x0 = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+
+        def f(x, x0):
+            return jnp.sum(band_cheby_hop(rop, x, x0, 512, True) ** 2)
+
+        gx, gx0 = jax.grad(f, argnums=(0, 1))(x, x0)
+        g = 2.0 * band_cheby_hop(rop, x, x0, 512, True)
+        np.testing.assert_allclose(np.asarray(gx),
+                                   np.asarray(2.0 * rop.matmul(g)),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gx0), np.asarray(-g),
+                                   atol=1e-6)
+
+    def test_ragged_quantized_bitexact_and_conv(self, banded_graph, rop):
+        from cnn_graph_tpu.ops import cheby_conv, quantize_banded
+        from cnn_graph_tpu.ops.pallas_band import banded_call_ragged
+
+        rng = np.random.default_rng(24)
+        qop = quantize_banded(rop, sample_x=3.0)
+        assert qop.levels == rop.levels
+        xq = qop.quantize(jnp.asarray(
+            rng.normal(size=(rop.m_padded, 128)).astype(np.float32)))
+        x0q = qop.quantize(jnp.asarray(
+            rng.normal(size=(rop.m_padded, 128)).astype(np.float32)))
+        got = np.asarray(banded_call_ragged(
+            qop.band, qop.base, jnp.asarray(np.asarray(qop.sched,
+                                                       np.int32)),
+            xq, x0q, levels=qop.levels, ring=qop.ring_slots,
+            G=qop.rows_per_step, out_rows=qop.m_padded, interpret=True,
+            band_scale=qop.band_scale))
+        want = np.asarray(qop._call(xq, x0q))
+        np.testing.assert_array_equal(got, want)
+
+        # and through the public conv with the f32 ragged op as oracle
+        K, Fin, Fout = 6, 8, 8
+        x = jnp.asarray(rng.normal(size=(2, rop.m, Fin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(K, Fin, Fout)) * 0.2, jnp.float32)
+        want_c = np.asarray(jax.jit(cheby_conv)(x, rop, w))
+        got_c = np.asarray(jax.jit(cheby_conv)(x, qop, w))
+        rel = np.linalg.norm(got_c - want_c) / np.linalg.norm(want_c)
+        assert rel < 0.12, rel
