@@ -10,6 +10,7 @@ from cnn_graph_tpu.parallel.halo import (
     halo_sharded_laplacian,
 )
 from cnn_graph_tpu.parallel.sparse_halo import (
+    BandedSparseHaloLaplacian,
     SparseHaloLaplacian,
     sparse_halo_laplacian,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "halo_sharded_laplacian",
     "SparseHaloLaplacian",
     "sparse_halo_laplacian",
+    "BandedSparseHaloLaplacian",
     "NodeShardedLaplacian",
     "node_sharded_laplacian",
 ]

@@ -31,7 +31,8 @@ from cnn_graph_tpu.graphs.construction import rescale_laplacian
 from cnn_graph_tpu.ops.laplacian import ChebyHopMixin, pack_block_sparse
 from cnn_graph_tpu.parallel.halo import build_halo_plan, halo_exchange_columns
 
-__all__ = ["SparseHaloLaplacian", "sparse_halo_laplacian"]
+__all__ = ["SparseHaloLaplacian", "BandedSparseHaloLaplacian",
+           "sparse_halo_laplacian"]
 
 
 @functools.partial(
@@ -115,6 +116,230 @@ class SparseHaloLaplacian(ChebyHopMixin):
         )(self.blocks, self.block_rows, self.block_cols, self.send_idx, x)
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["band", "base", "colperm", "send_idx"],
+    meta_fields=["mesh", "m", "m_padded", "nnz", "halo", "rows_per_shard",
+                 "block_shape", "ring_slots", "rows_per_step",
+                 "use_pallas", "ext_cols_padded"],
+)
+@dataclasses.dataclass(frozen=True)
+class BandedSparseHaloLaplacian(ChebyHopMixin):
+    """Sparse-halo operator whose per-shard compute is the BANDED kernel.
+
+    For graphs whose shards are internally bandable even when the global
+    ordering is not (VERDICT round-2 task 8): each shard's extended-column
+    matrix gets a private column ordering (by mean nonzero row — data
+    field ``colperm``) that pulls its referenced halo slots into band
+    position, then packs into the uniform band layout
+    (``band [n, nbr_s, W, br, bc]``, ``base [n, nbr_s]`` monotone per
+    shard).  Per hop the shard gathers ``x_ext[colperm]`` (one extra
+    activation pass) and runs ``ops.pallas_band.banded_call`` — the same
+    sliding-window kernel as the single-chip path — instead of the BSR
+    gather/segment-sum.  Exchange plan and ICI traffic are identical to
+    SparseHaloLaplacian's.
+    """
+
+    band: jax.Array         # [n, nbr_s, W, br, bc]
+    base: jax.Array         # [n, nbr_s] int32, monotone per shard
+    colperm: jax.Array      # [n, ext_p] int32: new pos -> old ext col
+    send_idx: jax.Array     # [n, n, H] int32
+    mesh: Mesh
+    m: int
+    m_padded: int
+    nnz: int
+    halo: int
+    rows_per_shard: int
+    block_shape: tuple
+    ring_slots: int
+    rows_per_step: int
+    use_pallas: bool
+    ext_cols_padded: int
+
+    @property
+    def compute_dtype(self):
+        return self.band.dtype
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        return _banded_sparse_halo_matmul(self, x)
+
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
+        return _banded_sparse_halo_hop(self, x1, x0)
+
+    def _apply_impl(self, x: jax.Array, x0: jax.Array | None) -> jax.Array:
+        n = self.mesh.shape["nodes"]
+        H = self.halo
+        br, bc = self.block_shape
+        ms = self.rows_per_shard
+        ext_p = self.ext_cols_padded
+
+        def local(band, base, colperm, send_idx_local, *xs):
+            band, base, colperm = band[0], base[0], colperm[0]
+            x_local = xs[0]
+            x0_local = xs[1] if len(xs) > 1 else None
+            x_ext = halo_exchange_columns(x_local, send_idx_local, n, H)
+            pad = ext_p - x_ext.shape[0]
+            if pad:
+                x_ext = jnp.pad(x_ext, ((0, pad), (0, 0)))
+            x_perm = jnp.take(x_ext, colperm, axis=0)
+            if self.use_pallas:
+                from cnn_graph_tpu.ops.pallas_band import banded_call
+
+                return banded_call(
+                    band, base, x_perm, x0_local, ring=self.ring_slots,
+                    G=self.rows_per_step, out_rows=ms,
+                ).astype(x.dtype)
+            _nb, W, _br, _bc = band.shape
+            xb = x_perm.reshape(ext_p // bc, bc, -1)
+            cols = base[:, None] + jnp.arange(W)[None, :]
+            wins = jnp.take(xb, cols, axis=0)
+            y = jnp.einsum(
+                "iwab,iwbc->iac", band.astype(x.dtype), wins,
+                preferred_element_type=jnp.float32,
+            ).reshape(ms, -1)
+            if x0_local is not None:
+                y = 2.0 * y - x0_local
+            return y.astype(x.dtype)
+
+        operands = (self.band, self.base, self.colperm, self.send_idx,
+                    x) + ((x0,) if x0 is not None else ())
+        in_specs = (P("nodes"), P("nodes"), P("nodes"),
+                    P("nodes", None, None), P("nodes", None)) + (
+            (P("nodes", None),) if x0 is not None else ()
+        )
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=P("nodes", None),
+            axis_names=set(self.mesh.axis_names),
+            check_vma=False,
+        )(*operands)
+
+
+@jax.custom_vjp
+def _banded_sparse_halo_matmul(op, x):
+    return op._apply_impl(x, None)
+
+
+def _bshm_fwd(op, x):
+    return op._apply_impl(x, None), op
+
+
+def _bshm_bwd(op, g):
+    from cnn_graph_tpu.ops.laplacian import zero_cotangent
+
+    return zero_cotangent(op), op._apply_impl(g, None)
+
+
+_banded_sparse_halo_matmul.defvjp(_bshm_fwd, _bshm_bwd)
+
+
+@jax.custom_vjp
+def _banded_sparse_halo_hop(op, x1, x0):
+    return op._apply_impl(x1, x0)
+
+
+def _bshh_fwd(op, x1, x0):
+    return op._apply_impl(x1, x0), op
+
+
+def _bshh_bwd(op, g):
+    from cnn_graph_tpu.ops.laplacian import zero_cotangent
+
+    dx1 = 2.0 * op._apply_impl(g, None)
+    return zero_cotangent(op), dx1.astype(g.dtype), -g
+
+
+_banded_sparse_halo_hop.defvjp(_bshh_fwd, _bshh_bwd)
+
+
+def _build_banded_sparse_halo(packed, W, mesh, m, mp, nnz, H, ms, ext_p,
+                              block_shape, send_idx, dtype, use_pallas):
+    """Assemble the uniform [n, nbr_s, W, br, bc] band arrays from the
+    per-shard packings (W maxed across shards for one SPMD program)."""
+    from cnn_graph_tpu.ops.laplacian import auto_rows_per_step
+    from cnn_graph_tpu.ops.pallas_band import ROWS_PER_STEP, ring_span
+
+    br, bc = block_shape
+    n = len(packed)
+    nbr = ms // br
+    n_cb = ext_p // bc
+    band = np.zeros((n, nbr, W, br, bc), np.dtype(dtype))
+    base_all = np.zeros((n, nbr), np.int32)
+    colperm = np.zeros((n, ext_p), np.int32)
+    for s, (rows, cols, data, base, _w, order) in enumerate(packed):
+        base = np.clip(base, 0, max(n_cb - W, 0)).astype(np.int64)
+        brow = rows // br
+        band[s, brow, cols // bc - base[brow], rows % br, cols % bc] = (
+            data.astype(band.dtype)
+        )
+        base_all[s] = base.astype(np.int32)
+        colperm[s] = order.astype(np.int32)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    elem = jnp.dtype(dtype).itemsize
+    g_auto = min(
+        auto_rows_per_step(base_all[s], W, br, bc, elem) for s in range(n)
+    )
+    G = next(g for g in range(min(g_auto, ROWS_PER_STEP), 0, -1)
+             if nbr % g == 0)
+    ring = max(ring_span(base_all[s], W, G) for s in range(n))
+
+    shard = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+    return BandedSparseHaloLaplacian(
+        band=jax.device_put(jnp.asarray(band, dtype=dtype),
+                            shard(P("nodes"))),
+        base=jax.device_put(jnp.asarray(base_all), shard(P("nodes"))),
+        colperm=jax.device_put(jnp.asarray(colperm), shard(P("nodes"))),
+        send_idx=jax.device_put(jnp.asarray(send_idx),
+                                shard(P("nodes", None, None))),
+        mesh=mesh,
+        m=m,
+        m_padded=mp,
+        nnz=nnz,
+        halo=H,
+        rows_per_shard=ms,
+        block_shape=block_shape,
+        ring_slots=ring,
+        rows_per_step=G,
+        use_pallas=use_pallas,
+        ext_cols_padded=ext_p,
+    )
+
+
+def _pack_local_banded(block, ms, ext_p, block_shape):
+    """Column-order one shard's extended matrix by mean nonzero row and
+    compute its band geometry.  Returns (rows, new_cols, data, base, W,
+    order) — packing into the uniform array happens after W is maxed
+    across shards."""
+    br, bc = block_shape
+    rows = block.row.astype(np.int64)
+    cols = block.col.astype(np.int64)
+    col_sum = np.zeros(ext_p, np.float64)
+    col_cnt = np.zeros(ext_p, np.int64)
+    np.add.at(col_sum, cols, rows)
+    np.add.at(col_cnt, cols, 1)
+    key = np.where(col_cnt > 0, col_sum / np.maximum(col_cnt, 1), np.inf)
+    order = np.argsort(key, kind="stable")  # new pos -> old col
+    colpos = np.empty(ext_p, np.int64)
+    colpos[order] = np.arange(ext_p)
+    new_cols = colpos[cols]
+
+    nbr = ms // br
+    n_cb = ext_p // bc
+    brow = rows // br
+    bcol = new_cols // bc
+    lo = np.full(nbr, n_cb, np.int64)
+    hi = np.full(nbr, -1, np.int64)
+    np.minimum.at(lo, brow, bcol)
+    np.maximum.at(hi, brow, bcol)
+    base = np.minimum.accumulate(lo[::-1])[::-1]  # suffix min, monotone
+    W = int(max((hi - base).max() + 1, 1))
+    return rows, new_cols, block.data, base, W, order
+
+
 @jax.custom_vjp
 def _sparse_halo_matmul(op, x):
     return op._matmul_impl(x)
@@ -141,8 +366,16 @@ def sparse_halo_laplacian(
     rescale: bool = True,
     dtype=jnp.float32,
     block_shape: tuple = (128, 128),
-) -> SparseHaloLaplacian:
-    """Build the block-sparse halo operator (RCM-order the graph first)."""
+    fmt: str = "bsr",
+    max_band_width: int = 32,
+    use_pallas: bool | None = None,
+):
+    """Build the block-sparse halo operator (RCM-order the graph first).
+
+    ``fmt``: ``"bsr"`` (default, gather/segment-sum per shard),
+    ``"banded"`` (per-shard column-ordered band + the banded kernel —
+    raises when any shard's band exceeds ``max_band_width``), or
+    ``"auto"`` (banded when every shard fits, else bsr)."""
     if rescale:
         L = rescale_laplacian(L, lmax=lmax)
     L = L.tocsr()
@@ -155,7 +388,7 @@ def sparse_halo_laplacian(
     ms = mp // n
     ext_p = -(-(ms + n * H) // bc) * bc
 
-    per_shard = []
+    locals_ = []
     for s in range(n):
         block = Lp[s * ms : (s + 1) * ms].tocoo()
         # Global col -> extended-local col (local range then halo slots).
@@ -170,10 +403,26 @@ def sparse_halo_laplacian(
             ],
             np.int64,
         )
-        local = scipy.sparse.coo_matrix(
+        locals_.append(scipy.sparse.coo_matrix(
             (block.data, (block.row, ext_cols)), shape=(ms, ext_p)
-        )
-        per_shard.append(pack_block_sparse(local, (br, bc)))
+        ))
+
+    if fmt in ("banded", "auto"):
+        packed = [_pack_local_banded(loc, ms, ext_p, block_shape)
+                  for loc in locals_]
+        W = max(p[4] for p in packed)
+        if W <= max_band_width:
+            return _build_banded_sparse_halo(
+                packed, W, mesh, m, mp, int(L.nnz), H, ms, ext_p,
+                block_shape, send_idx, dtype, use_pallas,
+            )
+        if fmt == "banded":
+            raise ValueError(
+                f"per-shard band width {W} exceeds {max_band_width}; "
+                "use fmt='bsr' (or fewer shards)"
+            )
+
+    per_shard = [pack_block_sparse(loc, (br, bc)) for loc in locals_]
 
     nb_max = max(max(p[0].shape[0] for p in per_shard), 1)
     blocks = np.zeros((n, nb_max, br, bc), np.float32)

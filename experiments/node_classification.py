@@ -66,10 +66,13 @@ def main():
     p.add_argument("--train-frac", type=float, default=0.1)
     p.add_argument("--mesh-nodes", type=int, default=0,
                    help=">0: edge-partition over a (data=1, nodes=N) mesh")
-    p.add_argument("--halo", choices=["sparse", "banded"], default="banded",
+    p.add_argument("--halo", choices=["sparse", "banded", "sparse-banded"],
+                   default="banded",
                    help="sharded operator: banded ring-ppermute halo "
-                        "(RCM city graphs) or general block-sparse "
-                        "all_to_all halo")
+                        "(RCM city graphs), general block-sparse "
+                        "all_to_all halo, or the all_to_all halo with a "
+                        "per-shard banded kernel (locally-bandable "
+                        "graphs)")
     p.add_argument("--int8", action="store_true",
                    help="after f32 training, quantize the operator to the "
                         "int8 banded serving path and report the accuracy "
@@ -104,6 +107,12 @@ def main():
             print(f"banded-halo operator: band {tuple(op.band.shape[1:])} "
                   f"/shard, halo {op.halo_left}+{op.halo_right} block-rows "
                   f"via ring ppermute, mesh {dict(mesh.shape)}")
+        elif args.halo == "sparse-banded":
+            op = sparse_halo_laplacian(L, mesh, fmt="banded")
+            print(f"sparse-banded operator: band "
+                  f"{tuple(op.band.shape[2:])} x {op.band.shape[1]} "
+                  f"block-rows/shard, halo {op.halo} rows/peer, "
+                  f"mesh {dict(mesh.shape)}")
         else:
             op = sparse_halo_laplacian(L, mesh)
             print(f"sparse-halo operator: {op.blocks.shape[1]} blocks/shard, "
