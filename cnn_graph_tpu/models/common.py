@@ -28,6 +28,7 @@ __all__ = [
     "dropout",
     "graph_arrays",
     "with_graph_arrays",
+    "quantize_model_operators",
 ]
 
 # Model attributes holding device-resident graph data (Laplacian operators,
@@ -57,6 +58,35 @@ def with_graph_arrays(model, tree: dict):
     for f, v in tree.items():
         setattr(clone, f, v)
     return clone
+
+
+def quantize_model_operators(model, sample_x: float = 1.0,
+                             headroom: float = 2.0):
+    """A copy of ``model`` with every BANDED graph operator replaced by its
+    int8-quantized twin — the one-call serving entry point.
+
+    ``sample_x`` is the expected activation max of the model's INPUT (the
+    recurrence itself uses a dynamic runtime scale inside ``cheby_conv``,
+    so this only seeds the operators' default ``act_scale`` for direct
+    ``spmm_q`` use).  Non-banded operators (dense/BSR levels of a ChebNet
+    stack) pass through unchanged — mixed stacks are fine, each
+    ``cheby_conv`` dispatches per operator.  See DESIGN.md §11 and
+    ``experiments/node_classification.py --int8``.
+    """
+    from cnn_graph_tpu.ops.laplacian import BandedLaplacian, quantize_banded
+
+    def q(op):
+        if isinstance(op, BandedLaplacian):
+            return quantize_banded(op, headroom=headroom, sample_x=sample_x)
+        return op
+
+    tree = {}
+    for f in ("op", "operators"):
+        v = getattr(model, f, None)
+        if v is None:
+            continue
+        tree[f] = [q(o) for o in v] if isinstance(v, list) else q(v)
+    return with_graph_arrays(model, tree)
 
 
 def trunc_normal(key, shape, std: float = 0.1, dtype=jnp.float32) -> jax.Array:

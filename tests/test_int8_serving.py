@@ -178,3 +178,84 @@ class TestModelServing:
                / np.linalg.norm(logits_f))
         assert rel < 0.1, rel
         assert (logits_q.argmax(1) == logits_f.argmax(1)).mean() >= 5 / 6
+
+
+class TestForecastingServing:
+    def test_gconv_lstm_cell_int8_tracks_f32(self, planted_graph, qpair):
+        """The spatiotemporal cell consumes whatever operator it is given
+        through ops.cheby_conv, so quantized inference needs no model
+        changes — outputs must track f32 through the nonlinear gates over
+        several steps."""
+        from cnn_graph_tpu.models.gconv_lstm import (
+            GConvLSTMCell, glstm_stack_apply, glstm_stack_init,
+        )
+
+        L, feats, _, _ = planted_graph
+        op, qop = qpair
+        rng = np.random.default_rng(9)
+        T, B, Fin, H = 3, 2, 4, 6
+        x_seq = jnp.asarray(
+            rng.normal(size=(T, B, op.m, Fin)), jnp.float32)
+
+        def run(operator):
+            cell = GConvLSTMCell(operator, num_units=H, feat_in=Fin, K=4)
+            params = glstm_stack_init(jax.random.PRNGKey(1), [cell])
+            return np.asarray(jax.jit(
+                lambda p, x: glstm_stack_apply(p, [cell], x)
+            )(params, x_seq))
+
+        y_f = run(op)
+        y_q = run(qop)
+        rel = np.linalg.norm(y_q - y_f) / np.linalg.norm(y_f)
+        assert rel < 0.15, rel
+
+
+class TestQuantizeHelper:
+    def test_quantize_model_operators_one_call(self, planted_graph, qpair):
+        """models.common.quantize_model_operators: one call converts a
+        trained model to the int8 serving path (banded ops quantized,
+        other formats untouched)."""
+        from cnn_graph_tpu.models import NodeClassifier, common
+        from cnn_graph_tpu.ops.laplacian import QuantBandedLaplacian
+
+        L, feats, _, n_classes = planted_graph
+        op, _ = qpair
+        model = NodeClassifier(op, input_features=feats.shape[1],
+                               num_classes=n_classes, hidden=[8], K=4)
+        params = model.init(jax.random.PRNGKey(0))
+        qmodel = common.quantize_model_operators(
+            model, sample_x=float(np.abs(feats).max()))
+        assert isinstance(qmodel.op, QuantBandedLaplacian)
+        assert model.op is op  # original untouched
+
+        fp = np.zeros((op.m_padded, feats.shape[1]), np.float32)
+        fp[: len(feats)] = feats
+        x = jnp.asarray(fp)
+        y_f = np.asarray(jax.jit(model.apply)(params, x))
+        y_q = np.asarray(jax.jit(qmodel.apply)(params, x))
+        rel = np.linalg.norm(y_q - y_f) / np.linalg.norm(y_f)
+        assert rel < 0.15, rel
+
+    def test_mixed_chebnet_stack(self, planted_graph):
+        """ChebNet with banded level 0 + dense deeper levels: only the
+        banded operator quantizes."""
+        from cnn_graph_tpu.graphs import coarsening
+        from cnn_graph_tpu.models import ChebNet, common
+        from cnn_graph_tpu.ops.laplacian import (
+            DenseLaplacian, QuantBandedLaplacian,
+        )
+
+        z = gc.grid(20)
+        W = gc.knn_graph(z, k=8)
+        graphs_, _ = coarsening.coarsen(W, levels=2, seed=1, verbose=False)
+        Ls = [gc.laplacian(g, normalized=True) for g in graphs_]
+        net = ChebNet(
+            [device_laplacian(Ls[0], fmt="banded", use_pallas=False)]
+            + [device_laplacian(l, fmt="dense") for l in Ls[1:]],
+            F=[8], K=[6], p=[1], M=[3])
+        qnet = common.quantize_model_operators(net, sample_x=3.0)
+        assert isinstance(qnet.operators[0], QuantBandedLaplacian)
+        # ChebNet keeps one operator per gconv layer; the rest of the
+        # stack (unused here with p=[1]) stays in its original format.
+        for o in qnet.operators[1:]:
+            assert isinstance(o, DenseLaplacian)
