@@ -303,8 +303,65 @@ def main_bsr(argv):
               f"{op.nnz/dt/1e9:.3f} Gedges/s", flush=True)
 
 
+def main_band(argv):
+    """A/B: banded-kernel G (block-rows per grid step) and layout for the
+    int8 serving chain.  Host-side fill analysis shows ragged G=8 keeps
+    19.0% of the 20.0% G=4 fill saving while HALVING grid steps (98->49
+    at 50k), and the int8 path's VMEM footprint (int8 band + int8
+    carries) is ~4x smaller than the bf16 one that sized the G=4
+    default — so larger G trades ~1% more MXU FLOPs against the per-
+    grid-step fixed cost (~0.7us pipeline + ~1us scalar DMA bookkeeping,
+    ops/pallas_band.py docstring)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.ops import device_laplacian, quantize_banded
+
+    side = int(argv[0]) if argv else 224
+    K, C, outer = 25, 512, 4
+    L, _ = city_graph(side, k=8, seed=0)
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def chain_q(qop, x):
+        xq = qop.quantize(x.astype(jnp.float32))
+
+        def body(_, carry):
+            def hop(_, c):
+                p, q = c
+                return q, qop.cheby_hop_q(q, p)
+
+            return jax.lax.fori_loop(0, K - 1, hop, carry)
+
+        out = jax.lax.fori_loop(0, outer, body, (xq, qop.spmm_q(xq)))[1]
+        return jnp.mean(qop.dequantize(out) ** 2)
+
+    all_variants = {
+        "ragged_G4": (True, 4), "ragged_G8": (True, 8),
+        "ragged_G16": (True, 16), "uniform_G4": (False, 4),
+        "uniform_G8": (False, 8),
+    }
+    names = argv[1:] if len(argv) > 1 else list(all_variants)
+    for name in names:
+        ragged, G = all_variants[name]
+        op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16,
+                              ragged=ragged, rows_per_step=G)
+        qop = quantize_banded(op, sample_x=3.0)
+        X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
+        s, dt = _timed_scalar(chain_q, qop, X)
+        assert np.isfinite(s)
+        dt /= outer * (K - 1)
+        blocks = (op.band.shape[0] if op.levels
+                  else op.band.shape[0] * op.band.shape[1])
+        print(f"{name:11s} G={G:2d} blocks={blocks:5d} "
+              f"ring={op.ring_slots:3d} {dt*1e6:7.1f} us/spmm "
+              f"{op.nnz/dt/1e9:.4f} Gedges/s", flush=True)
+
+
 MODES = {"peak": main_peak, "mxu": main_mxu, "pred": main_pred,
-         "bsr": main_bsr}
+         "bsr": main_bsr, "band": main_band}
 
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in MODES:
