@@ -70,14 +70,23 @@ def quantize_model_operators(model, sample_x: float = 1.0,
     so this only seeds the operators' default ``act_scale`` for direct
     ``spmm_q`` use).  Non-banded operators (dense/BSR levels of a ChebNet
     stack) pass through unchanged — mixed stacks are fine, each
-    ``cheby_conv`` dispatches per operator.  See DESIGN.md §11 and
-    ``experiments/node_classification.py --int8``.
+    ``cheby_conv`` dispatches per operator.  Sharded banded-halo
+    operators quantize to their multi-chip int8 twin (int8 carries over
+    the ICI ring — half the halo bytes; DESIGN.md §13).  See DESIGN.md
+    §11 and ``experiments/node_classification.py --int8``.
     """
     from cnn_graph_tpu.ops.laplacian import BandedLaplacian, quantize_banded
+    from cnn_graph_tpu.parallel.banded_halo import (
+        BandedHaloLaplacian,
+        quantize_banded_halo,
+    )
 
     def q(op):
         if isinstance(op, BandedLaplacian):
             return quantize_banded(op, headroom=headroom, sample_x=sample_x)
+        if isinstance(op, BandedHaloLaplacian):
+            return quantize_banded_halo(op, headroom=headroom,
+                                        sample_x=sample_x)
         return op
 
     tree = {}

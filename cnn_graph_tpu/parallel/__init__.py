@@ -2,7 +2,9 @@
 
 from cnn_graph_tpu.parallel.banded_halo import (
     BandedHaloLaplacian,
+    QuantBandedHaloLaplacian,
     banded_halo_laplacian,
+    quantize_banded_halo,
 )
 from cnn_graph_tpu.parallel.halo import (
     HaloShardedLaplacian,
@@ -23,7 +25,9 @@ from cnn_graph_tpu.parallel.node_sharded import (
 __all__ = [
     "P",
     "BandedHaloLaplacian",
+    "QuantBandedHaloLaplacian",
     "banded_halo_laplacian",
+    "quantize_banded_halo",
     "data_sharding",
     "make_mesh",
     "replicated",

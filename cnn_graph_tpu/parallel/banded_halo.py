@@ -49,7 +49,8 @@ from cnn_graph_tpu.ops.laplacian import (
     zero_cotangent,
 )
 
-__all__ = ["BandedHaloLaplacian", "banded_halo_laplacian"]
+__all__ = ["BandedHaloLaplacian", "QuantBandedHaloLaplacian",
+           "banded_halo_laplacian", "quantize_banded_halo"]
 
 MXU_TILE = 128
 
@@ -122,110 +123,136 @@ class BandedHaloLaplacian(ChebyHopMixin):
 
     # ---- shard-local implementation ----
 
-    def _exchange_parts(self, x_local):
-        """Start the neighbor ppermutes; return [left?, x_local, right?]
-        WITHOUT concatenating, so callers can place compute between the
-        collective launch and its first use.  Unpaired edge shards
-        receive zeros (their band never reads that region)."""
-        n = self.mesh.shape["nodes"]
-        br = self.block_shape[0]  # halo extents are block-ROWS of x
-        parts = []
-        if self.halo_left:
-            tail = x_local[-self.halo_left * br:]
-            parts.append(
-                jax.lax.ppermute(tail, "nodes",
-                                 [(i, i + 1) for i in range(n - 1)])
-            )
-        parts.append(x_local)
-        if self.halo_right:
-            head = x_local[: self.halo_right * br]
-            parts.append(
-                jax.lax.ppermute(head, "nodes",
-                                 [(i + 1, i) for i in range(n - 1)])
-            )
-        return parts
-
     def _apply_impl(self, x: jax.Array, x0: jax.Array | None) -> jax.Array:
-        ms = self.rows_per_shard
+        return _apply_sharded(self, x, x0)
 
-        def local(band, base, *xs):
-            band, base = band[0], base[0]
-            x_local = xs[0]
-            x0_local = xs[1] if len(xs) > 1 else None
-            nbr_s, _W, br, _bc = band.shape
 
-            def run(bslice, baseslice, xarr, x0slice, out_rows):
-                """One banded pass on a row sub-range (Pallas on TPU,
-                float32-accumulating einsum oracle elsewhere)."""
-                if self.use_pallas:
-                    from cnn_graph_tpu.ops.pallas_band import banded_call
+def _exchange_parts(op, x_local):
+    """Start the neighbor ppermutes; return [left?, x_local, right?]
+    WITHOUT concatenating, so callers can place compute between the
+    collective launch and its first use.  Unpaired edge shards
+    receive zeros (their band never reads that region)."""
+    n = op.mesh.shape["nodes"]
+    br = op.block_shape[0]  # halo extents are block-ROWS of x
+    parts = []
+    if op.halo_left:
+        tail = x_local[-op.halo_left * br:]
+        parts.append(
+            jax.lax.ppermute(tail, "nodes",
+                             [(i, i + 1) for i in range(n - 1)])
+        )
+    parts.append(x_local)
+    if op.halo_right:
+        head = x_local[: op.halo_right * br]
+        parts.append(
+            jax.lax.ppermute(head, "nodes",
+                             [(i + 1, i) for i in range(n - 1)])
+        )
+    return parts
 
-                    return banded_call(
-                        bslice, baseslice, xarr, x0slice,
-                        ring=self.ring_slots, G=self.rows_per_step,
-                        out_rows=out_rows,
-                    ).astype(x_local.dtype)
-                _nb, W, _br, bc = bslice.shape
-                xb = xarr.reshape(-1, bc, xarr.shape[1])
-                cols = baseslice[:, None] + jnp.arange(W)[None, :]
-                wins = jnp.take(xb, cols, axis=0)  # [rows, W, bc, C]
-                y = jnp.einsum(
-                    "iwab,iwbc->iac", bslice.astype(x_local.dtype), wins,
-                    preferred_element_type=jnp.float32,
+
+def _apply_sharded(op, x: jax.Array, x0: jax.Array | None,
+                   band_scale: float | None = None) -> jax.Array:
+    """Shared shard-local apply for the f32/bf16 and int8 operators.
+
+    ``band_scale`` switches on the quantized path: int8 band x int8
+    activations, int32 window taps, dequant/requant at emission — the
+    same integer arithmetic as ``QuantBandedLaplacian._call``, so the
+    sharded chain is bit-exact with the single-chip one.  The halo
+    ppermutes then move int8 payloads: HALF the ICI bytes per hop of
+    the bf16 training operator (DESIGN.md §13)."""
+    ms = op.rows_per_shard
+    quant = band_scale is not None
+
+    def local(band, base, *xs):
+        band, base = band[0], base[0]
+        x_local = xs[0]
+        x0_local = xs[1] if len(xs) > 1 else None
+        nbr_s, _W, br, _bc = band.shape
+
+        def run(bslice, baseslice, xarr, x0slice, out_rows):
+            """One banded pass on a row sub-range (Pallas on TPU, an
+            accumulator-exact einsum oracle elsewhere)."""
+            if op.use_pallas:
+                from cnn_graph_tpu.ops.pallas_band import banded_call
+
+                return banded_call(
+                    bslice, baseslice, xarr, x0slice,
+                    ring=op.ring_slots, G=op.rows_per_step,
+                    out_rows=out_rows, band_scale=band_scale,
+                ).astype(x_local.dtype)
+            _nb, W, _br, bc = bslice.shape
+            xb = xarr.reshape(-1, bc, xarr.shape[1])
+            cols = baseslice[:, None] + jnp.arange(W)[None, :]
+            wins = jnp.take(xb, cols, axis=0)  # [rows, W, bc, C]
+            if quant:
+                acc = jnp.einsum(
+                    "iwab,iwbc->iac", bslice, wins,
+                    preferred_element_type=jnp.int32,
                 ).reshape(out_rows, -1)
+                y = band_scale * acc.astype(jnp.float32)
                 if x0slice is not None:
-                    y = 2.0 * y - x0slice
-                return y.astype(x_local.dtype)
-
-            def x0_rows(lo, hi):
-                return (None if x0_local is None
-                        else x0_local[lo * br:hi * br])
-
-            parts = self._exchange_parts(x_local)
-            pre, suf = self.boundary_pre, self.boundary_suf
-            interior = nbr_s - pre - suf
-            if self.overlap and interior > 0 and (pre or suf):
-                # Interior block-rows read only local columns: shift
-                # their window bases out of the extended space and run
-                # them against x_local — no dependence on the ppermute
-                # results, so the exchange hides behind this pass.
-                y_int = run(
-                    band[pre:pre + interior],
-                    base[pre:pre + interior] - self.halo_left,
-                    x_local, x0_rows(pre, pre + interior), interior * br,
+                    y = 2.0 * y - x0slice.astype(jnp.float32)
+                return jnp.clip(jnp.round(y), -127.0, 127.0).astype(
+                    x_local.dtype
                 )
-                x_ext = (jnp.concatenate(parts, axis=0)
-                         if len(parts) > 1 else x_local)
-                ys = []
-                if pre:
-                    ys.append(run(band[:pre], base[:pre], x_ext,
-                                  x0_rows(0, pre), pre * br))
-                ys.append(y_int)
-                if suf:
-                    ys.append(run(band[nbr_s - suf:], base[nbr_s - suf:],
-                                  x_ext, x0_rows(nbr_s - suf, nbr_s),
-                                  suf * br))
-                return jnp.concatenate(ys, axis=0)
+            y = jnp.einsum(
+                "iwab,iwbc->iac", bslice.astype(x_local.dtype), wins,
+                preferred_element_type=jnp.float32,
+            ).reshape(out_rows, -1)
+            if x0slice is not None:
+                y = 2.0 * y - x0slice
+            return y.astype(x_local.dtype)
+
+        def x0_rows(lo, hi):
+            return (None if x0_local is None
+                    else x0_local[lo * br:hi * br])
+
+        parts = _exchange_parts(op, x_local)
+        pre, suf = op.boundary_pre, op.boundary_suf
+        interior = nbr_s - pre - suf
+        if op.overlap and interior > 0 and (pre or suf):
+            # Interior block-rows read only local columns: shift
+            # their window bases out of the extended space and run
+            # them against x_local — no dependence on the ppermute
+            # results, so the exchange hides behind this pass.
+            y_int = run(
+                band[pre:pre + interior],
+                base[pre:pre + interior] - op.halo_left,
+                x_local, x0_rows(pre, pre + interior), interior * br,
+            )
             x_ext = (jnp.concatenate(parts, axis=0)
                      if len(parts) > 1 else x_local)
-            return run(band, base, x_ext, x0_local, ms)
+            ys = []
+            if pre:
+                ys.append(run(band[:pre], base[:pre], x_ext,
+                              x0_rows(0, pre), pre * br))
+            ys.append(y_int)
+            if suf:
+                ys.append(run(band[nbr_s - suf:], base[nbr_s - suf:],
+                              x_ext, x0_rows(nbr_s - suf, nbr_s),
+                              suf * br))
+            return jnp.concatenate(ys, axis=0)
+        x_ext = (jnp.concatenate(parts, axis=0)
+                 if len(parts) > 1 else x_local)
+        return run(band, base, x_ext, x0_local, ms)
 
-        operands = (self.band, self.base, x) + (
-            (x0,) if x0 is not None else ()
-        )
-        in_specs = (P("nodes"), P("nodes"), P("nodes", None)) + (
-            (P("nodes", None),) if x0 is not None else ()
-        )
-        # Fully-manual shard_map, like parallel/sparse_halo.py: the
-        # whole-graph node models carry no batch dimension here.
-        return jax.shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=in_specs,
-            out_specs=P("nodes", None),
-            axis_names=set(self.mesh.axis_names),
-            check_vma=False,
-        )(*operands)
+    operands = (op.band, op.base, x) + (
+        (x0,) if x0 is not None else ()
+    )
+    in_specs = (P("nodes"), P("nodes"), P("nodes", None)) + (
+        (P("nodes", None),) if x0 is not None else ()
+    )
+    # Fully-manual shard_map, like parallel/sparse_halo.py: the
+    # whole-graph node models carry no batch dimension here.
+    return jax.shard_map(
+        local,
+        mesh=op.mesh,
+        in_specs=in_specs,
+        out_specs=P("nodes", None),
+        axis_names=set(op.mesh.axis_names),
+        check_vma=False,
+    )(*operands)
 
 
 @jax.custom_vjp
@@ -261,6 +288,130 @@ def _bhh_bwd(op, g):
 
 
 _banded_halo_hop.defvjp(_bhh_fwd, _bhh_bwd)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["band", "base"],
+    meta_fields=["mesh", "m", "m_padded", "nnz", "halo_left", "halo_right",
+                 "rows_per_shard", "block_shape", "ring_slots",
+                 "rows_per_step", "use_pallas", "boundary_pre",
+                 "boundary_suf", "overlap", "band_scale", "act_scale",
+                 "headroom"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuantBandedHaloLaplacian:
+    """Int8-quantized row-sharded banded Laplacian — MULTI-CHIP serving.
+
+    Same exchange plan and band geometry as :class:`BandedHaloLaplacian`
+    (two neighbor ``ppermute`` shifts per hop), but the band is int8,
+    the recurrence carries ride int8 across chips (the halo payload is
+    HALF the bf16 operator's ICI bytes), and every shard runs the
+    quantized banded kernel (int32 taps at the MXU int8 rate,
+    dequant/requant at emission — DESIGN.md §11/§13).
+
+    Implements the same ``quantize``/``dequantize``/``spmm_q``/
+    ``cheby_hop_q`` protocol as ``QuantBandedLaplacian``, so
+    ``ops.cheby_conv`` (and therefore NodeClassifier / ChebNet / the
+    forecasting family) dispatches to the int8-resident recurrence with
+    a runtime activation scale — sharded serving is the same one-call
+    ``models.common.quantize_model_operators`` away as single-chip.
+    Inference-only: no VJP (train in f32/bf16, quantize for serving).
+    """
+
+    band: jax.Array   # [n, nbr_s, W, br, bc] int8, sharded P('nodes')
+    base: jax.Array   # [n, nbr_s] int32, extended-column window bases
+    mesh: Mesh
+    m: int
+    m_padded: int
+    nnz: int
+    halo_left: int
+    halo_right: int
+    rows_per_shard: int
+    block_shape: tuple
+    ring_slots: int
+    rows_per_step: int
+    use_pallas: bool
+    boundary_pre: int = 0
+    boundary_suf: int = 0
+    overlap: bool = False
+    band_scale: float = 1.0
+    act_scale: float = 1.0
+    headroom: float = 2.0
+
+    @property
+    def compute_dtype(self):
+        return self.band.dtype
+
+    @property
+    def band_width(self):
+        return self.band.shape[2]
+
+    def quantize(self, x: jax.Array, scale=None) -> jax.Array:
+        s = self.act_scale if scale is None else scale
+        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+
+    def dequantize(self, q: jax.Array, dtype=jnp.float32,
+                   scale=None) -> jax.Array:
+        s = self.act_scale if scale is None else scale
+        return (q.astype(jnp.float32) * s).astype(dtype)
+
+    def spmm_q(self, x_q: jax.Array) -> jax.Array:
+        """``quantize(L @ dequantize(x_q))``, one int8 pass per shard."""
+        return _apply_sharded(self, x_q, None, band_scale=self.band_scale)
+
+    def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array) -> jax.Array:
+        """Quantized fused recurrence hop ``2 (L @ x1) - x0``."""
+        return _apply_sharded(self, x1_q, x0_q, band_scale=self.band_scale)
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """Float view for drop-in parity checks."""
+        return self.dequantize(self.spmm_q(self.quantize(x)), x.dtype)
+
+
+def quantize_banded_halo(op: BandedHaloLaplacian, headroom: float = 2.0,
+                         sample_x: float = 1.0) -> QuantBandedHaloLaplacian:
+    """Quantize a sharded BandedHaloLaplacian for int8 serving.
+
+    Same scale design as ``ops.laplacian.quantize_banded``: ONE global
+    band scale ``max|L| / 127`` (the spectral rescale bounds entries
+    uniformly — a global reduce over the sharded band), ONE activation
+    scale with ``headroom`` for the recurrence carries.  The reduce and
+    the cast run jitted so no eager op ever touches the device, and the
+    quantized band keeps the P('nodes') sharding.
+    """
+    shard = NamedSharding(op.mesh, P("nodes"))
+    s_b = float(jax.device_get(
+        jax.jit(lambda b: jnp.max(jnp.abs(b.astype(jnp.float32))))(op.band)
+    ))
+    s_b = s_b / 127.0 if s_b > 0.0 else 1.0
+    band_q = jax.jit(
+        lambda b: jnp.clip(
+            jnp.round(b.astype(jnp.float32) / s_b), -127, 127
+        ).astype(jnp.int8),
+        out_shardings=shard,
+    )(op.band)
+    return QuantBandedHaloLaplacian(
+        band=band_q,
+        base=op.base,
+        mesh=op.mesh,
+        m=op.m,
+        m_padded=op.m_padded,
+        nnz=op.nnz,
+        halo_left=op.halo_left,
+        halo_right=op.halo_right,
+        rows_per_shard=op.rows_per_shard,
+        block_shape=op.block_shape,
+        ring_slots=op.ring_slots,
+        rows_per_step=op.rows_per_step,
+        use_pallas=op.use_pallas,
+        boundary_pre=op.boundary_pre,
+        boundary_suf=op.boundary_suf,
+        overlap=op.overlap,
+        band_scale=s_b,
+        act_scale=float(sample_x) * headroom / 127.0,
+        headroom=headroom,
+    )
 
 
 def banded_halo_laplacian(

@@ -76,7 +76,9 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="after f32 training, quantize the operator to the "
                         "int8 banded serving path and report the accuracy "
-                        "delta + inference timing (single chip only)")
+                        "delta + inference timing (single chip, or sharded "
+                        "with --mesh-nodes --halo banded: int8 carries over "
+                        "the ICI ring, half the halo bytes)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -194,17 +196,30 @@ def main():
         # Serving path: quantize the trained graph operator to int8 and
         # run the SAME model/params through it (cheby_conv dispatches on
         # the quantized protocol; DESIGN.md §11).  Reports the accuracy
-        # delta vs f32 and steady-state inference time.
-        assert mesh is None, "--int8 is the single-chip serving path"
+        # delta vs f32 and steady-state inference time.  With
+        # --mesh-nodes --halo banded, the quantized SHARDED operator
+        # serves with int8 carries over the ICI ring (DESIGN.md §13).
         from cnn_graph_tpu.ops import quantize_banded
         from cnn_graph_tpu.ops.laplacian import BandedLaplacian
+        from cnn_graph_tpu.parallel import (
+            BandedHaloLaplacian,
+            quantize_banded_halo,
+        )
 
-        band_op = (op if isinstance(op, BandedLaplacian)
-                   else device_laplacian(L, fmt="banded"))
-        qop = quantize_banded(band_op,
-                              sample_x=float(np.abs(fp).max()))
-        int8_acc = float(masked_accuracy(qop, params, features, y,
-                                         jnp.asarray(test_mask)))
+        sample = float(np.abs(fp).max())
+        if isinstance(op, BandedHaloLaplacian):
+            qop = quantize_banded_halo(op, sample_x=sample)
+        else:
+            assert mesh is None, (
+                "--int8 on a mesh needs --halo banded (the sparse-halo "
+                "operators have no quantized twin yet)"
+            )
+            band_op = (op if isinstance(op, BandedLaplacian)
+                       else device_laplacian(L, fmt="banded"))
+            qop = quantize_banded(band_op, sample_x=sample)
+        with ctx:
+            int8_acc = float(masked_accuracy(qop, params, features, y,
+                                             jnp.asarray(test_mask)))
         print(f"int8 test acc {int8_acc:.4f} "
               f"(delta vs f32 {int8_acc - test_acc:+.4f})")
 
@@ -226,11 +241,12 @@ def main():
             return jnp.mean(out ** 2)
 
         for name, o in (("f32 ", op), ("int8", qop)):
-            s = float(jax.device_get(infer_chain(o, params, features)))
-            assert np.isfinite(s)
-            t0 = time.time()
-            jax.device_get(infer_chain(o, params, features))
-            dt = (time.time() - t0) / iters
+            with ctx:
+                s = float(jax.device_get(infer_chain(o, params, features)))
+                assert np.isfinite(s)
+                t0 = time.time()
+                jax.device_get(infer_chain(o, params, features))
+                dt = (time.time() - t0) / iters
             print(f"{name} inference {dt * 1000:7.2f} ms/graph  "
                   f"{op.nnz * n_spmm / dt / 1e9:6.3f} Gedges/s "
                   f"({n_spmm} spmm/inference)")

@@ -165,3 +165,121 @@ class TestBandedHalo:
                 params, state, loss = step(op, params, state, x, y, msk)
                 losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.5, losses
+
+
+class TestQuantBandedHalo:
+    """Int8 multi-chip serving: the quantized sharded operator
+    (parallel.banded_halo.QuantBandedHaloLaplacian; DESIGN.md §13).
+    The halo ppermutes carry int8 payloads — half the bf16 operator's
+    ICI bytes per hop."""
+
+    def test_chain_bitexact_vs_single_chip(self, setup):
+        """The sharded int8 recurrence runs the same integer arithmetic
+        as the single-chip QuantBandedLaplacian: int32 window taps,
+        identical dequant/requant emission — so a K-hop chain of int8
+        carries must be BIT-exact with the single-chip chain."""
+        from cnn_graph_tpu.ops import quantize_banded
+        from cnn_graph_tpu.parallel import quantize_banded_halo
+
+        L, mesh, op, ref = setup
+        qop = quantize_banded_halo(op, sample_x=3.0)
+        sop = device_laplacian(L, fmt="banded", use_pallas=False,
+                               dtype=jnp.float32)
+        sq = quantize_banded(sop, sample_x=3.0)
+        assert np.isclose(qop.band_scale, sq.band_scale, rtol=1e-6)
+
+        rng = np.random.default_rng(11)
+        mp = max(op.m_padded, sq.m_padded)
+        xq = rng.integers(-100, 100, (mp, 32)).astype(np.int8)
+        xq[op.m:] = 0
+
+        def chain(q, x, K=9):
+            b = [x, q.spmm_q(x)]
+            for _ in range(2, K):
+                b.append(q.cheby_hop_q(b[-1], b[-2]))
+            return jnp.stack(b)
+
+        with mesh:
+            got = np.asarray(
+                jax.jit(chain)(qop, jnp.asarray(xq[: op.m_padded]))
+            )
+        want = np.asarray(jax.jit(chain)(sq, jnp.asarray(xq[: sq.m_padded])))
+        np.testing.assert_array_equal(got[:, : op.m], want[:, : op.m])
+
+    def test_overlap_split_matches_unsplit_int8(self, setup):
+        """The exchange-compute overlap split must stay bit-exact on the
+        quantized path (requantization happens per row, so the split
+        cannot change any emitted value)."""
+        import dataclasses
+
+        from cnn_graph_tpu.parallel import quantize_banded_halo
+
+        L, mesh, _op, ref = setup
+        op = banded_halo_laplacian(L, mesh, rows_per_step=1)
+        qop = quantize_banded_halo(op, sample_x=3.0)
+        assert qop.overlap and (qop.boundary_pre or qop.boundary_suf)
+        flat = dataclasses.replace(qop, overlap=False)
+
+        rng = np.random.default_rng(13)
+        x1 = jnp.asarray(
+            rng.integers(-100, 100, (op.m_padded, 16)).astype(np.int8))
+        x0 = jnp.asarray(
+            rng.integers(-100, 100, (op.m_padded, 16)).astype(np.int8))
+        with mesh:
+            split_y = np.asarray(jax.jit(
+                lambda o, a, b: o.cheby_hop_q(a, b))(qop, x1, x0))
+            unsplit_y = np.asarray(jax.jit(
+                lambda o, a, b: o.cheby_hop_q(a, b))(flat, x1, x0))
+        np.testing.assert_array_equal(split_y, unsplit_y)
+
+    def test_cheby_conv_and_model_serving(self, setup):
+        """cheby_conv dispatches on the quant protocol for the SHARDED
+        operator, and quantize_model_operators converts a NodeClassifier
+        over a banded-halo op in one call with a small accuracy cost."""
+        from cnn_graph_tpu.models import NodeClassifier, common
+        from cnn_graph_tpu.ops import cheby_conv
+        from cnn_graph_tpu.parallel import QuantBandedHaloLaplacian
+
+        L, mesh, op, ref = setup
+        rng = np.random.default_rng(17)
+        K, Fin, Fout = 6, 16, 8
+        x = np.zeros((1, op.m_padded, Fin), np.float32)
+        x[:, : op.m] = rng.normal(size=(1, op.m, Fin))
+        w = jnp.asarray(rng.normal(size=(K, Fin, Fout)) * 0.2, jnp.float32)
+
+        model = NodeClassifier(op, input_features=Fin, num_classes=4,
+                               hidden=[8], K=4)
+        params = model.init(jax.random.PRNGKey(0))
+        qmodel = common.quantize_model_operators(model, sample_x=3.0)
+        assert isinstance(qmodel.op, QuantBandedHaloLaplacian)
+
+        xr = np.zeros((1, ref.m_padded, Fin), np.float32)
+        xr[:, : op.m] = x[:, : op.m]
+        want = np.asarray(jax.jit(cheby_conv)(jnp.asarray(xr), ref, w))
+        with mesh:
+            got = np.asarray(
+                jax.jit(cheby_conv)(jnp.asarray(x), qmodel.op, w))
+            y_f = np.asarray(jax.jit(model.apply)(
+                params, jnp.asarray(x[0])))
+            y_q = np.asarray(jax.jit(qmodel.apply)(
+                params, jnp.asarray(x[0])))
+        rel = (np.linalg.norm(got[:, : op.m] - want[:, : op.m])
+               / np.linalg.norm(want[:, : op.m]))
+        assert rel < 0.12, rel
+        rel_m = np.linalg.norm(y_q - y_f) / np.linalg.norm(y_f)
+        assert rel_m < 0.15, rel_m
+
+    def test_halo_payload_is_int8(self, setup):
+        """The exchanged halo must be int8 (half the bf16 bytes on the
+        ICI ring): check the ppermute operand dtype in the jaxpr."""
+        from cnn_graph_tpu.parallel import quantize_banded_halo
+
+        L, mesh, op, ref = setup
+        qop = quantize_banded_halo(op, sample_x=3.0)
+        x = jnp.zeros((op.m_padded, 16), jnp.int8)
+        with mesh:
+            jaxpr = jax.make_jaxpr(
+                lambda o, v: o.spmm_q(v))(qop, x)
+        perms = [e for e in str(jaxpr).split("\n") if "ppermute" in e]
+        assert perms, "no ppermute in the quantized sharded spmm"
+        assert all("i8[" in p for p in perms), perms
