@@ -59,15 +59,46 @@ def _chain(op, x, K=25, outer=4):
     return (time.perf_counter() - t0) / (outer * (K - 1))
 
 
+def _chain_q(qop, x, K=25, outer=4):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def run(qop, x):
+        xq = qop.quantize(x.astype(jnp.float32))
+
+        def body(_, carry):
+            def hop(_, c):
+                p, q = c
+                return q, qop.cheby_hop_q(q, p)
+
+            return jax.lax.fori_loop(0, K - 1, hop, carry)
+
+        out = jax.lax.fori_loop(0, outer, body, (xq, qop.spmm_q(xq)))[1]
+        return jnp.mean(qop.dequantize(out) ** 2)
+
+    s = float(jax.device_get(run(qop, x)))
+    assert np.isfinite(s), s
+    t0 = time.perf_counter()
+    jax.device_get(run(qop, x))
+    return (time.perf_counter() - t0) / (outer * (K - 1))
+
+
 def main_wrapper(argv):
-    """nodes=1 shard_map wrapper cost vs the plain kernel, real chip."""
+    """nodes=1 shard_map wrapper cost vs the plain kernel, real chip —
+    for both the bf16 training path and the int8 serving path."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from cnn_graph_tpu.data.synthetic import city_graph
-    from cnn_graph_tpu.ops import device_laplacian
-    from cnn_graph_tpu.parallel import banded_halo_laplacian, make_mesh
+    from cnn_graph_tpu.ops import device_laplacian, quantize_banded
+    from cnn_graph_tpu.parallel import (
+        banded_halo_laplacian,
+        make_mesh,
+        quantize_banded_halo,
+    )
 
     side = int(argv[0]) if argv else 224
     C = 512
@@ -88,12 +119,26 @@ def main_wrapper(argv):
     with mesh:
         dt_h = _chain(hop, X)
     dt_p = _chain(op, X)
-    print(f"plain kernel   {dt_p*1e6:7.1f} us/spmm "
-          f"{op.nnz/dt_p/1e9:.4f} Gedges/s")
-    print(f"halo wrapper   {dt_h*1e6:7.1f} us/spmm "
+    print(f"bf16 plain kernel {dt_p*1e6:7.1f} us/spmm "
+          f"{op.nnz/dt_p/1e9:.4f} Gedges/s", flush=True)
+    print(f"bf16 halo wrapper {dt_h*1e6:7.1f} us/spmm "
           f"{op.nnz/dt_h/1e9:.4f} Gedges/s")
-    print(f"wrapper overhead {(dt_h-dt_p)*1e6:+.1f} us/spmm "
-          f"({(dt_h/dt_p-1)*100:+.1f}%)")
+    print(f"bf16 wrapper overhead {(dt_h-dt_p)*1e6:+.1f} us/spmm "
+          f"({(dt_h/dt_p-1)*100:+.1f}%)", flush=True)
+
+    sample = float(np.max(np.abs(np.asarray(jax.device_get(X),
+                                            np.float32))))
+    qp = quantize_banded(op, sample_x=sample)
+    with mesh:
+        qh = quantize_banded_halo(hop, sample_x=sample)
+        dt_qh = _chain_q(qh, X)
+    dt_qp = _chain_q(qp, X)
+    print(f"int8 plain kernel {dt_qp*1e6:7.1f} us/spmm "
+          f"{op.nnz/dt_qp/1e9:.4f} Gedges/s", flush=True)
+    print(f"int8 halo wrapper {dt_qh*1e6:7.1f} us/spmm "
+          f"{op.nnz/dt_qh/1e9:.4f} Gedges/s")
+    print(f"int8 wrapper overhead {(dt_qh-dt_qp)*1e6:+.1f} us/spmm "
+          f"({(dt_qh/dt_qp-1)*100:+.1f}%)")
 
 
 def main_comm(argv):
@@ -105,11 +150,13 @@ def main_comm(argv):
     from cnn_graph_tpu.parallel import banded_halo_laplacian, make_mesh
 
     side = int(argv[0]) if argv else 224
-    C, e = 512, 2  # bf16 activations
+    C, e = 512, 2  # bf16 activations; int8 serving carries halve MB/hop
     L, _ = city_graph(side, k=8, seed=0)
     m = L.shape[0]
-    print(f"nodes={m} nnz={L.nnz} C={C} bf16")
-    print(f"{'n':>2} {'h_l':>4} {'h_r':>4} {'MB/hop':>8} {'cut_edges':>10} "
+    print(f"nodes={m} nnz={L.nnz} C={C} bf16 "
+          f"(int8 serving: MB/hop and MB_ideal halve)")
+    print(f"{'n':>2} {'h_l':>4} {'h_r':>4} {'MB/hop':>8} {'MB_int8':>8} "
+          f"{'cut_edges':>10} "
           f"{'bnd_nodes':>10} {'MB_ideal':>9} {'ratio':>6} {'interior%':>9}")
     for n in argv[1:] or (2, 4, 8):
         n = int(n)
@@ -134,7 +181,8 @@ def main_comm(argv):
         nbr_s = rows_per // br
         interior = 1 - (op.boundary_pre + op.boundary_suf) / nbr_s
         print(f"{n:>2} {op.halo_left:>4} {op.halo_right:>4} "
-              f"{bytes_hop/2**20:>8.2f} {cut:>10d} {bnd:>10d} "
+              f"{bytes_hop/2**20:>8.2f} {bytes_hop/2/2**20:>8.2f} "
+              f"{cut:>10d} {bnd:>10d} "
               f"{ideal/2**20:>9.2f} {bytes_hop/max(ideal,1):>6.2f} "
               f"{interior*100:>8.1f}%")
 
