@@ -80,12 +80,20 @@ def quantize_model_operators(model, sample_x: float = 1.0,
         BandedHaloLaplacian,
         quantize_banded_halo,
     )
+    from cnn_graph_tpu.parallel.sparse_halo import (
+        BandedSparseHaloLaplacian,
+        SparseHaloLaplacian,
+        quantize_sparse_halo,
+    )
 
     def q(op):
         if isinstance(op, BandedLaplacian):
             return quantize_banded(op, headroom=headroom, sample_x=sample_x)
         if isinstance(op, BandedHaloLaplacian):
             return quantize_banded_halo(op, headroom=headroom,
+                                        sample_x=sample_x)
+        if isinstance(op, (SparseHaloLaplacian, BandedSparseHaloLaplacian)):
+            return quantize_sparse_halo(op, headroom=headroom,
                                         sample_x=sample_x)
         return op
 

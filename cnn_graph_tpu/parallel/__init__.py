@@ -13,7 +13,10 @@ from cnn_graph_tpu.parallel.halo import (
 )
 from cnn_graph_tpu.parallel.sparse_halo import (
     BandedSparseHaloLaplacian,
+    QuantBandedSparseHaloLaplacian,
+    QuantSparseHaloLaplacian,
     SparseHaloLaplacian,
+    quantize_sparse_halo,
     sparse_halo_laplacian,
 )
 from cnn_graph_tpu.parallel.mesh import P, data_sharding, make_mesh, replicated
@@ -36,7 +39,10 @@ __all__ = [
     "halo_sharded_laplacian",
     "SparseHaloLaplacian",
     "sparse_halo_laplacian",
+    "quantize_sparse_halo",
     "BandedSparseHaloLaplacian",
+    "QuantSparseHaloLaplacian",
+    "QuantBandedSparseHaloLaplacian",
     "NodeShardedLaplacian",
     "node_sharded_laplacian",
 ]

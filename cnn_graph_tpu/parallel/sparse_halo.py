@@ -32,7 +32,8 @@ from cnn_graph_tpu.ops.laplacian import ChebyHopMixin, pack_block_sparse
 from cnn_graph_tpu.parallel.halo import build_halo_plan, halo_exchange_columns
 
 __all__ = ["SparseHaloLaplacian", "BandedSparseHaloLaplacian",
-           "sparse_halo_laplacian"]
+           "QuantSparseHaloLaplacian", "QuantBandedSparseHaloLaplacian",
+           "sparse_halo_laplacian", "quantize_sparse_halo"]
 
 
 @functools.partial(
@@ -77,43 +78,81 @@ class SparseHaloLaplacian(ChebyHopMixin):
         return _sparse_halo_matmul(self, x)
 
     def _matmul_impl(self, x: jax.Array) -> jax.Array:
-        n = self.mesh.shape["nodes"]
-        H = self.halo
-        br, bc = self.block_shape
-        ms = self.rows_per_shard
-        ext_p = self.ext_cols_padded
+        return _sparse_apply(self, x, None)
 
-        def local_matmul(blocks, brows, bcols, send_idx_local, x_local):
-            blocks, brows, bcols = blocks[0], brows[0], bcols[0]
-            x_ext = halo_exchange_columns(x_local, send_idx_local, n, H)
-            pad = ext_p - x_ext.shape[0]
-            if pad:
-                x_ext = jnp.pad(x_ext, ((0, pad), (0, 0)))
-            xb = x_ext.reshape(ext_p // bc, bc, -1)
-            gathered = jnp.take(xb, bcols, axis=0)  # [nb, bc, C]
+
+def _sparse_apply(op, x: jax.Array, x0: jax.Array | None,
+                  band_scale: float | None = None) -> jax.Array:
+    """Shared shard-local BSR apply for the f32 and int8 operators.
+
+    ``band_scale`` enables the quantized path: int8 blocks x int8
+    activations, int32 tile taps + segment_sum, fused hop update and
+    dequant/requant at emission — the same integer arithmetic as
+    ``QuantBandedLaplacian._call``, so the quantized BSR-halo chain is
+    bit-exact with the single-chip one (and the halo all_to_all moves
+    int8 payloads — half the bf16 ICI bytes)."""
+    n = op.mesh.shape["nodes"]
+    H = op.halo
+    br, bc = op.block_shape
+    ms = op.rows_per_shard
+    ext_p = op.ext_cols_padded
+    quant = band_scale is not None
+
+    def local_matmul(blocks, brows, bcols, send_idx_local, *xs):
+        blocks, brows, bcols = blocks[0], brows[0], bcols[0]
+        x_local = xs[0]
+        x0_local = xs[1] if len(xs) > 1 else None
+        x_ext = halo_exchange_columns(x_local, send_idx_local, n, H)
+        pad = ext_p - x_ext.shape[0]
+        if pad:
+            x_ext = jnp.pad(x_ext, ((0, pad), (0, 0)))
+        xb = x_ext.reshape(ext_p // bc, bc, -1)
+        gathered = jnp.take(xb, bcols, axis=0)  # [nb, bc, C]
+        if quant:
             partial = jnp.einsum(
-                "nij,njc->nic", blocks.astype(x.dtype), gathered,
-                preferred_element_type=x.dtype,
+                "nij,njc->nic", blocks, gathered,
+                preferred_element_type=jnp.int32,
             )
-            yb = jax.ops.segment_sum(
+            acc = jax.ops.segment_sum(
                 partial, brows, num_segments=ms // br,
                 indices_are_sorted=True,
+            ).reshape(ms, -1)
+            y = band_scale * acc.astype(jnp.float32)
+            if x0_local is not None:
+                y = 2.0 * y - x0_local.astype(jnp.float32)
+            return jnp.clip(jnp.round(y), -127.0, 127.0).astype(
+                x_local.dtype
             )
-            return yb.reshape(ms, -1).astype(x.dtype)
+        partial = jnp.einsum(
+            "nij,njc->nic", blocks.astype(x.dtype), gathered,
+            preferred_element_type=x.dtype,
+        )
+        yb = jax.ops.segment_sum(
+            partial, brows, num_segments=ms // br,
+            indices_are_sorted=True,
+        ).reshape(ms, -1)
+        if x0_local is not None:
+            yb = 2.0 * yb - x0_local
+        return yb.astype(x.dtype)
 
-        # Fully-manual shard_map (all mesh axes): activations are
-        # replicated over non-'nodes' axes in this operator's use case
-        # (whole-graph node models carry no batch dim).  Partial-manual +
-        # custom_vjp trips a JAX spec-inference limitation.
-        return jax.shard_map(
-            local_matmul,
-            mesh=self.mesh,
-            in_specs=(P("nodes"), P("nodes"), P("nodes"),
-                      P("nodes", None, None), P("nodes", None)),
-            out_specs=P("nodes", None),
-            axis_names=set(self.mesh.axis_names),
-            check_vma=False,
-        )(self.blocks, self.block_rows, self.block_cols, self.send_idx, x)
+    operands = (op.blocks, op.block_rows, op.block_cols, op.send_idx,
+                x) + ((x0,) if x0 is not None else ())
+    in_specs = (P("nodes"), P("nodes"), P("nodes"),
+                P("nodes", None, None), P("nodes", None)) + (
+        (P("nodes", None),) if x0 is not None else ()
+    )
+    # Fully-manual shard_map (all mesh axes): activations are
+    # replicated over non-'nodes' axes in this operator's use case
+    # (whole-graph node models carry no batch dim).  Partial-manual +
+    # custom_vjp trips a JAX spec-inference limitation.
+    return jax.shard_map(
+        local_matmul,
+        mesh=op.mesh,
+        in_specs=in_specs,
+        out_specs=P("nodes", None),
+        axis_names=set(op.mesh.axis_names),
+        check_vma=False,
+    )(*operands)
 
 
 @functools.partial(
@@ -167,54 +206,74 @@ class BandedSparseHaloLaplacian(ChebyHopMixin):
         return _banded_sparse_halo_hop(self, x1, x0)
 
     def _apply_impl(self, x: jax.Array, x0: jax.Array | None) -> jax.Array:
-        n = self.mesh.shape["nodes"]
-        H = self.halo
-        br, bc = self.block_shape
-        ms = self.rows_per_shard
-        ext_p = self.ext_cols_padded
+        return _banded_sparse_apply(self, x, x0)
 
-        def local(band, base, colperm, send_idx_local, *xs):
-            band, base, colperm = band[0], base[0], colperm[0]
-            x_local = xs[0]
-            x0_local = xs[1] if len(xs) > 1 else None
-            x_ext = halo_exchange_columns(x_local, send_idx_local, n, H)
-            pad = ext_p - x_ext.shape[0]
-            if pad:
-                x_ext = jnp.pad(x_ext, ((0, pad), (0, 0)))
-            x_perm = jnp.take(x_ext, colperm, axis=0)
-            if self.use_pallas:
-                from cnn_graph_tpu.ops.pallas_band import banded_call
 
-                return banded_call(
-                    band, base, x_perm, x0_local, ring=self.ring_slots,
-                    G=self.rows_per_step, out_rows=ms,
-                ).astype(x.dtype)
-            _nb, W, _br, _bc = band.shape
-            xb = x_perm.reshape(ext_p // bc, bc, -1)
-            cols = base[:, None] + jnp.arange(W)[None, :]
-            wins = jnp.take(xb, cols, axis=0)
-            y = jnp.einsum(
-                "iwab,iwbc->iac", band.astype(x.dtype), wins,
-                preferred_element_type=jnp.float32,
+def _banded_sparse_apply(op, x: jax.Array, x0: jax.Array | None,
+                         band_scale: float | None = None) -> jax.Array:
+    """Shared shard-local banded apply for the f32 and int8 operators
+    (``band_scale`` enables the quantized path — same integer arithmetic
+    as the single-chip kernel, int8 halo payloads)."""
+    n = op.mesh.shape["nodes"]
+    H = op.halo
+    br, bc = op.block_shape
+    ms = op.rows_per_shard
+    ext_p = op.ext_cols_padded
+    quant = band_scale is not None
+
+    def local(band, base, colperm, send_idx_local, *xs):
+        band, base, colperm = band[0], base[0], colperm[0]
+        x_local = xs[0]
+        x0_local = xs[1] if len(xs) > 1 else None
+        x_ext = halo_exchange_columns(x_local, send_idx_local, n, H)
+        pad = ext_p - x_ext.shape[0]
+        if pad:
+            x_ext = jnp.pad(x_ext, ((0, pad), (0, 0)))
+        x_perm = jnp.take(x_ext, colperm, axis=0)
+        if op.use_pallas:
+            from cnn_graph_tpu.ops.pallas_band import banded_call
+
+            return banded_call(
+                band, base, x_perm, x0_local, ring=op.ring_slots,
+                G=op.rows_per_step, out_rows=ms, band_scale=band_scale,
+            ).astype(x.dtype)
+        _nb, W, _br, _bc = band.shape
+        xb = x_perm.reshape(ext_p // bc, bc, -1)
+        cols = base[:, None] + jnp.arange(W)[None, :]
+        wins = jnp.take(xb, cols, axis=0)
+        if quant:
+            acc = jnp.einsum(
+                "iwab,iwbc->iac", band, wins,
+                preferred_element_type=jnp.int32,
             ).reshape(ms, -1)
+            y = band_scale * acc.astype(jnp.float32)
             if x0_local is not None:
-                y = 2.0 * y - x0_local
-            return y.astype(x.dtype)
+                y = 2.0 * y - x0_local.astype(jnp.float32)
+            return jnp.clip(jnp.round(y), -127.0, 127.0).astype(
+                x_local.dtype
+            )
+        y = jnp.einsum(
+            "iwab,iwbc->iac", band.astype(x.dtype), wins,
+            preferred_element_type=jnp.float32,
+        ).reshape(ms, -1)
+        if x0_local is not None:
+            y = 2.0 * y - x0_local
+        return y.astype(x.dtype)
 
-        operands = (self.band, self.base, self.colperm, self.send_idx,
-                    x) + ((x0,) if x0 is not None else ())
-        in_specs = (P("nodes"), P("nodes"), P("nodes"),
-                    P("nodes", None, None), P("nodes", None)) + (
-            (P("nodes", None),) if x0 is not None else ()
-        )
-        return jax.shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=in_specs,
-            out_specs=P("nodes", None),
-            axis_names=set(self.mesh.axis_names),
-            check_vma=False,
-        )(*operands)
+    operands = (op.band, op.base, op.colperm, op.send_idx,
+                x) + ((x0,) if x0 is not None else ())
+    in_specs = (P("nodes"), P("nodes"), P("nodes"),
+                P("nodes", None, None), P("nodes", None)) + (
+        (P("nodes", None),) if x0 is not None else ()
+    )
+    return jax.shard_map(
+        local,
+        mesh=op.mesh,
+        in_specs=in_specs,
+        out_specs=P("nodes", None),
+        axis_names=set(op.mesh.axis_names),
+        check_vma=False,
+    )(*operands)
 
 
 @jax.custom_vjp
@@ -338,6 +397,148 @@ def _pack_local_banded(block, ms, ext_p, block_shape):
     base = np.minimum.accumulate(lo[::-1])[::-1]  # suffix min, monotone
     W = int(max((hi - base).max() + 1, 1))
     return rows, new_cols, block.data, base, W, order
+
+
+class _QuantHaloProtocol:
+    """Shared int8 serving protocol for the quantized halo operators
+    (mirrors ``QuantBandedLaplacian``; consumed by ``ops.cheby_conv``'s
+    quant dispatch).  Inference-only: no VJP."""
+
+    @property
+    def compute_dtype(self):
+        return jnp.int8
+
+    def quantize(self, x: jax.Array, scale=None) -> jax.Array:
+        s = self.act_scale if scale is None else scale
+        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+
+    def dequantize(self, q: jax.Array, dtype=jnp.float32,
+                   scale=None) -> jax.Array:
+        s = self.act_scale if scale is None else scale
+        return (q.astype(jnp.float32) * s).astype(dtype)
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """Float view for drop-in parity checks."""
+        return self.dequantize(self.spmm_q(self.quantize(x)), x.dtype)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blocks", "block_rows", "block_cols", "send_idx"],
+    meta_fields=["mesh", "m", "m_padded", "nnz", "halo", "rows_per_shard",
+                 "block_shape", "ext_cols_padded", "band_scale",
+                 "act_scale", "headroom"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuantSparseHaloLaplacian(_QuantHaloProtocol):
+    """Int8 twin of :class:`SparseHaloLaplacian` — multi-chip serving on
+    SCATTERED graphs: int8 tile taps + int32 segment_sum per shard, int8
+    recurrence carries over the all_to_all halo (half the bf16 ICI
+    bytes), dequant/requant at emission (bit-exact with the single-chip
+    quantized chain; DESIGN.md §13)."""
+
+    blocks: jax.Array       # [n, nb_max, br, bc] int8
+    block_rows: jax.Array
+    block_cols: jax.Array
+    send_idx: jax.Array
+    mesh: Mesh
+    m: int
+    m_padded: int
+    nnz: int
+    halo: int
+    rows_per_shard: int
+    block_shape: tuple
+    ext_cols_padded: int
+    band_scale: float = 1.0
+    act_scale: float = 1.0
+    headroom: float = 2.0
+
+    def spmm_q(self, x_q: jax.Array) -> jax.Array:
+        return _sparse_apply(self, x_q, None, band_scale=self.band_scale)
+
+    def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array) -> jax.Array:
+        return _sparse_apply(self, x1_q, x0_q, band_scale=self.band_scale)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["band", "base", "colperm", "send_idx"],
+    meta_fields=["mesh", "m", "m_padded", "nnz", "halo", "rows_per_shard",
+                 "block_shape", "ring_slots", "rows_per_step",
+                 "use_pallas", "ext_cols_padded", "band_scale",
+                 "act_scale", "headroom"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuantBandedSparseHaloLaplacian(_QuantHaloProtocol):
+    """Int8 twin of :class:`BandedSparseHaloLaplacian`: the per-shard
+    quantized banded kernel behind the all_to_all halo exchange."""
+
+    band: jax.Array         # [n, nbr_s, W, br, bc] int8
+    base: jax.Array
+    colperm: jax.Array
+    send_idx: jax.Array
+    mesh: Mesh
+    m: int
+    m_padded: int
+    nnz: int
+    halo: int
+    rows_per_shard: int
+    block_shape: tuple
+    ring_slots: int
+    rows_per_step: int
+    use_pallas: bool
+    ext_cols_padded: int
+    band_scale: float = 1.0
+    act_scale: float = 1.0
+    headroom: float = 2.0
+
+    @property
+    def band_width(self):
+        return self.band.shape[2]
+
+    def spmm_q(self, x_q: jax.Array) -> jax.Array:
+        return _banded_sparse_apply(self, x_q, None,
+                                    band_scale=self.band_scale)
+
+    def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array) -> jax.Array:
+        return _banded_sparse_apply(self, x1_q, x0_q,
+                                    band_scale=self.band_scale)
+
+
+def quantize_sparse_halo(op, headroom: float = 2.0, sample_x: float = 1.0):
+    """Quantize a sparse-halo operator (BSR or per-shard-banded) for
+    int8 multi-chip serving.  Same scale design as ``quantize_banded``:
+    one global band scale ``max|L| / 127`` (a jitted reduce over the
+    sharded data), one activation scale with carry ``headroom``."""
+    data = op.band if isinstance(op, BandedSparseHaloLaplacian) else op.blocks
+    shard = NamedSharding(op.mesh, P("nodes"))
+    s_b = float(jax.device_get(
+        jax.jit(lambda b: jnp.max(jnp.abs(b.astype(jnp.float32))))(data)
+    ))
+    s_b = s_b / 127.0 if s_b > 0.0 else 1.0
+    data_q = jax.jit(
+        lambda b: jnp.clip(
+            jnp.round(b.astype(jnp.float32) / s_b), -127, 127
+        ).astype(jnp.int8),
+        out_shardings=shard,
+    )(data)
+    common = dict(
+        send_idx=op.send_idx, mesh=op.mesh, m=op.m, m_padded=op.m_padded,
+        nnz=op.nnz, halo=op.halo, rows_per_shard=op.rows_per_shard,
+        block_shape=op.block_shape, ext_cols_padded=op.ext_cols_padded,
+        band_scale=s_b, act_scale=float(sample_x) * headroom / 127.0,
+        headroom=headroom,
+    )
+    if isinstance(op, BandedSparseHaloLaplacian):
+        return QuantBandedSparseHaloLaplacian(
+            band=data_q, base=op.base, colperm=op.colperm,
+            ring_slots=op.ring_slots, rows_per_step=op.rows_per_step,
+            use_pallas=op.use_pallas, **common,
+        )
+    return QuantSparseHaloLaplacian(
+        blocks=data_q, block_rows=op.block_rows, block_cols=op.block_cols,
+        **common,
+    )
 
 
 @jax.custom_vjp

@@ -75,10 +75,10 @@ def main():
                         "graphs)")
     p.add_argument("--int8", action="store_true",
                    help="after f32 training, quantize the operator to the "
-                        "int8 banded serving path and report the accuracy "
-                        "delta + inference timing (single chip, or sharded "
-                        "with --mesh-nodes --halo banded: int8 carries over "
-                        "the ICI ring, half the halo bytes)")
+                        "int8 serving path and report the accuracy delta + "
+                        "inference timing (single chip, or sharded with "
+                        "--mesh-nodes under any --halo: int8 carries over "
+                        "the ICI, half the halo bytes)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -203,17 +203,19 @@ def main():
         from cnn_graph_tpu.ops.laplacian import BandedLaplacian
         from cnn_graph_tpu.parallel import (
             BandedHaloLaplacian,
+            BandedSparseHaloLaplacian,
+            SparseHaloLaplacian,
             quantize_banded_halo,
+            quantize_sparse_halo,
         )
 
         sample = float(np.abs(fp).max())
         if isinstance(op, BandedHaloLaplacian):
             qop = quantize_banded_halo(op, sample_x=sample)
+        elif isinstance(op, (SparseHaloLaplacian,
+                             BandedSparseHaloLaplacian)):
+            qop = quantize_sparse_halo(op, sample_x=sample)
         else:
-            assert mesh is None, (
-                "--int8 on a mesh needs --halo banded (the sparse-halo "
-                "operators have no quantized twin yet)"
-            )
             band_op = (op if isinstance(op, BandedLaplacian)
                        else device_laplacian(L, fmt="banded"))
             qop = quantize_banded(band_op, sample_x=sample)

@@ -187,3 +187,74 @@ class TestBandedSparseHalo:
         with pytest.raises(ValueError, match="band width"):
             sparse_halo_laplacian(L, mesh, block_shape=(8, 8),
                                   fmt="banded", max_band_width=1)
+
+
+class TestQuantSparseHalo:
+    """Int8 twins of the sparse-halo operators (DESIGN.md §13): same
+    exchange plan, int8 carries over the all_to_all halo, integer
+    arithmetic identical to the single-chip quantized chain."""
+
+    def _single_chip_chain(self, L, xq_full, K):
+        from cnn_graph_tpu.ops import quantize_banded
+
+        sop = device_laplacian(L, fmt="banded", use_pallas=False,
+                               dtype=jnp.float32)
+        sq = quantize_banded(sop, sample_x=3.0)
+
+        def chain(q, x):
+            b = [x, q.spmm_q(x)]
+            for _ in range(2, K):
+                b.append(q.cheby_hop_q(b[-1], b[-2]))
+            return jnp.stack(b)
+
+        want = np.asarray(
+            jax.jit(chain)(sq, jnp.asarray(xq_full[: sq.m_padded])))
+        return sq, chain, want
+
+    @pytest.mark.parametrize("fmt", ["bsr", "banded"])
+    def test_chain_bitexact_vs_single_chip(self, community_graph, fmt):
+        from cnn_graph_tpu.parallel import quantize_sparse_halo
+
+        L, _, _ = community_graph
+        mesh = make_mesh(data=4, nodes=2)
+        sp = sparse_halo_laplacian(L, mesh, block_shape=(8, 8), fmt=fmt)
+        qsp = quantize_sparse_halo(sp, sample_x=3.0)
+
+        rng = np.random.default_rng(21)
+        K = 7
+        mp = max(sp.m_padded, 512)
+        xq = rng.integers(-100, 100, (mp, 16)).astype(np.int8)
+        xq[sp.m:] = 0
+        sq, chain, want = self._single_chip_chain(L, xq, K)
+        assert np.isclose(qsp.band_scale, sq.band_scale, rtol=1e-6)
+        with mesh:
+            got = np.asarray(
+                jax.jit(chain)(qsp, jnp.asarray(xq[: sp.m_padded])))
+        np.testing.assert_array_equal(got[:, : sp.m], want[:, : sp.m])
+
+    def test_quantize_model_operators_handles_sparse_halo(
+            self, community_graph):
+        from cnn_graph_tpu.models import common
+        from cnn_graph_tpu.parallel import (
+            QuantBandedSparseHaloLaplacian,
+            QuantSparseHaloLaplacian,
+        )
+
+        L, features, _ = community_graph
+        mesh = make_mesh(data=4, nodes=2)
+        for fmt, qcls in (("bsr", QuantSparseHaloLaplacian),
+                          ("banded", QuantBandedSparseHaloLaplacian)):
+            sp = sparse_halo_laplacian(L, mesh, block_shape=(8, 8),
+                                       fmt=fmt)
+            model = NodeClassifier(sp, input_features=8, num_classes=4,
+                                   hidden=[16], K=3)
+            params = model.init(jax.random.PRNGKey(0))
+            qmodel = common.quantize_model_operators(model, sample_x=5.0)
+            assert isinstance(qmodel.op, qcls)
+
+            fp = jnp.zeros((sp.m_padded, 8)).at[: sp.m].set(features)
+            with mesh:
+                y_f = np.asarray(jax.jit(model.apply)(params, fp))
+                y_q = np.asarray(jax.jit(qmodel.apply)(params, fp))
+            rel = np.linalg.norm(y_q - y_f) / np.linalg.norm(y_f)
+            assert rel < 0.15, (fmt, rel)
