@@ -79,6 +79,11 @@ def main():
                         "inference timing (single chip, or sharded with "
                         "--mesh-nodes under any --halo: int8 carries over "
                         "the ICI, half the halo bytes)")
+    p.add_argument("--export", metavar="DIR", default=None,
+                   help="after training, write a deployable serving "
+                        "artifact (StableHLO + leaves; cnn_graph_tpu."
+                        "serve.export_serving) to DIR — int8 when --int8 "
+                        "is set, f32 otherwise (single chip only)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -252,6 +257,20 @@ def main():
             print(f"{name} inference {dt * 1000:7.2f} ms/graph  "
                   f"{op.nnz * n_spmm / dt / 1e9:6.3f} Gedges/s "
                   f"({n_spmm} spmm/inference)")
+
+    if args.export:
+        assert mesh is None, (
+            "--export is the single-chip artifact; shard at the serving "
+            "layer by graph partition instead"
+        )
+        from cnn_graph_tpu import serve
+
+        serve.export_serving(model, params, features, args.export,
+                             int8=args.int8,
+                             sample_x=float(np.abs(fp).max()))
+        print(f"serving artifact written to {args.export} "
+              f"(int8={args.int8}); load with "
+              f"cnn_graph_tpu.serve.load_serving")
 
 
 class _null_ctx:
