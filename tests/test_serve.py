@@ -127,3 +127,27 @@ class TestExportLoad:
         y_l = np.asarray(serve.load_serving(d)(x))
         rel = np.linalg.norm(y_l - y_ref) / np.linalg.norm(y_ref)
         assert rel < 0.15, rel
+
+    def test_forecaster_exports(self, tmp_path):
+        """The forecasting family (GConvLSTM variants) shares the
+        apply(params, x) serving surface, so it exports unchanged."""
+        from cnn_graph_tpu.data.synthetic import city_graph
+        from cnn_graph_tpu.models import GConvForecaster
+
+        L, _ = city_graph(12, k=8, seed=0)  # 144 regions
+        op = device_laplacian(L, fmt="banded", use_pallas=False,
+                              rescale=True)
+        model = GConvForecaster(op, seq_closeness=4, seq_period=2,
+                                seq_trend=2, variant="glstm_gconv",
+                                num_hidden=8, K=3)
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(6)
+        C = 2 * (4 + 2 + 2)
+        x = jnp.asarray(rng.normal(size=(2, op.m, C)), jnp.float32)
+        y_ref = np.asarray(jax.jit(model.apply)(params, x))
+
+        d = str(tmp_path / "forecaster")
+        serve.export_serving(model, params, x, d)
+        y_l = np.asarray(serve.load_serving(d)(x))
+        rel = np.linalg.norm(y_l - y_ref) / np.linalg.norm(y_ref)
+        assert rel < 0.2, rel
