@@ -39,6 +39,7 @@ from cnn_graph_tpu.graphs.construction import rescale_laplacian
 __all__ = [
     "zero_cotangent",
     "ChebyHopMixin",
+    "QuantOpMixin",
     "DenseLaplacian",
     "BlockSparseLaplacian",
     "BandedLaplacian",
@@ -79,6 +80,35 @@ class ChebyHopMixin:
 
     def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
         return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
+
+
+class QuantOpMixin:
+    """Shared int8 serving protocol for the quantized operators — one
+    copy of quantize/dequantize/float-view matmul for the single-chip
+    ``QuantBandedLaplacian`` and every sharded twin
+    (``QuantBandedHaloLaplacian``, ``QuantSparseHaloLaplacian``,
+    ``QuantBandedSparseHaloLaplacian``).  Subclasses carry ``act_scale``
+    and implement ``spmm_q``/``cheby_hop_q``; ``ops.cheby_conv``
+    dispatches on the ``cheby_hop_q`` attribute.  Inference-only: no
+    VJP (train in f32/bf16, quantize for serving)."""
+
+    @property
+    def compute_dtype(self):
+        return jnp.int8
+
+    def quantize(self, x: jax.Array, scale=None) -> jax.Array:
+        s = self.act_scale if scale is None else scale
+        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+
+    def dequantize(self, q: jax.Array, dtype=jnp.float32,
+                   scale=None) -> jax.Array:
+        s = self.act_scale if scale is None else scale
+        return (q.astype(jnp.float32) * s).astype(dtype)
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """Float view for drop-in parity checks: quantize -> int8 SpMM ->
+        dequant (one extra quantization of x vs the resident-int8 chain)."""
+        return self.dequantize(self.spmm_q(self.quantize(x)), x.dtype)
 
 
 @functools.partial(
@@ -321,7 +351,7 @@ class BCOOLaplacian(ChebyHopMixin):
                  "headroom", "sched", "levels"],
 )
 @dataclasses.dataclass(frozen=True)
-class QuantBandedLaplacian:
+class QuantBandedLaplacian(QuantOpMixin):
     """Int8-quantized banded Laplacian — the INFERENCE/serving path.
 
     The band is symmetric-quantized with ONE global scale
@@ -363,19 +393,6 @@ class QuantBandedLaplacian:
     @property
     def band_width(self):
         return self.levels[-1] if self.levels else self.band.shape[1]
-
-    @property
-    def compute_dtype(self):
-        return self.band.dtype
-
-    def quantize(self, x: jax.Array, scale=None) -> jax.Array:
-        s = self.act_scale if scale is None else scale
-        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-
-    def dequantize(self, q: jax.Array, dtype=jnp.float32,
-                   scale=None) -> jax.Array:
-        s = self.act_scale if scale is None else scale
-        return (q.astype(jnp.float32) * s).astype(dtype)
 
     def _call(self, x_q: jax.Array, x0_q: jax.Array | None) -> jax.Array:
         if self.use_pallas:
@@ -426,11 +443,6 @@ class QuantBandedLaplacian:
     def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array) -> jax.Array:
         """Quantized fused recurrence hop ``2 (L @ x1) - x0``."""
         return self._call(x1_q, x0_q)
-
-    def matmul(self, x: jax.Array) -> jax.Array:
-        """Float view for parity checks: quantize -> int8 SpMM -> dequant
-        (one extra quantization of x vs the resident-int8 chain)."""
-        return self.dequantize(self.spmm_q(self.quantize(x)), x.dtype)
 
 
 def quantize_banded(op: BandedLaplacian, headroom: float = 2.0,

@@ -28,7 +28,11 @@ import scipy.sparse
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnn_graph_tpu.graphs.construction import rescale_laplacian
-from cnn_graph_tpu.ops.laplacian import ChebyHopMixin, pack_block_sparse
+from cnn_graph_tpu.ops.laplacian import (
+    ChebyHopMixin,
+    QuantOpMixin,
+    pack_block_sparse,
+)
 from cnn_graph_tpu.parallel.halo import build_halo_plan, halo_exchange_columns
 
 __all__ = ["SparseHaloLaplacian", "BandedSparseHaloLaplacian",
@@ -399,29 +403,6 @@ def _pack_local_banded(block, ms, ext_p, block_shape):
     return rows, new_cols, block.data, base, W, order
 
 
-class _QuantHaloProtocol:
-    """Shared int8 serving protocol for the quantized halo operators
-    (mirrors ``QuantBandedLaplacian``; consumed by ``ops.cheby_conv``'s
-    quant dispatch).  Inference-only: no VJP."""
-
-    @property
-    def compute_dtype(self):
-        return jnp.int8
-
-    def quantize(self, x: jax.Array, scale=None) -> jax.Array:
-        s = self.act_scale if scale is None else scale
-        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-
-    def dequantize(self, q: jax.Array, dtype=jnp.float32,
-                   scale=None) -> jax.Array:
-        s = self.act_scale if scale is None else scale
-        return (q.astype(jnp.float32) * s).astype(dtype)
-
-    def matmul(self, x: jax.Array) -> jax.Array:
-        """Float view for drop-in parity checks."""
-        return self.dequantize(self.spmm_q(self.quantize(x)), x.dtype)
-
-
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_rows", "block_cols", "send_idx"],
@@ -430,7 +411,7 @@ class _QuantHaloProtocol:
                  "act_scale", "headroom"],
 )
 @dataclasses.dataclass(frozen=True)
-class QuantSparseHaloLaplacian(_QuantHaloProtocol):
+class QuantSparseHaloLaplacian(QuantOpMixin):
     """Int8 twin of :class:`SparseHaloLaplacian` — multi-chip serving on
     SCATTERED graphs: int8 tile taps + int32 segment_sum per shard, int8
     recurrence carries over the all_to_all halo (half the bf16 ICI
@@ -469,7 +450,7 @@ class QuantSparseHaloLaplacian(_QuantHaloProtocol):
                  "act_scale", "headroom"],
 )
 @dataclasses.dataclass(frozen=True)
-class QuantBandedSparseHaloLaplacian(_QuantHaloProtocol):
+class QuantBandedSparseHaloLaplacian(QuantOpMixin):
     """Int8 twin of :class:`BandedSparseHaloLaplacian`: the per-shard
     quantized banded kernel behind the all_to_all halo exchange."""
 

@@ -51,15 +51,34 @@ _LEAVES = "leaves.npz"
 _META = "meta.json"
 
 
+def _model_operators(model):
+    """Flat list of the model's graph operators (``op`` / ``operators``)."""
+    ops = []
+    for f in ("op", "operators"):
+        v = getattr(model, f, None)
+        if v is None:
+            continue
+        ops.extend(v if isinstance(v, list) else [v])
+    return ops
+
+
 def _prepare(model, params, example_x, int8, sample_x, headroom):
     """Quantize (optionally), split the model into (flat leaves, traced
-    apply-on-leaves fn, input spec)."""
+    apply-on-leaves fn, input spec).  Returns the number of operators
+    actually converted to an int8 twin (0 when the model's formats have
+    no quantized counterpart — dense/BCOO stacks pass through)."""
     if sample_x is None:
         sample_x = (float(np.max(np.abs(np.asarray(example_x))))
                     if hasattr(example_x, "shape") else 1.0) or 1.0
     qmodel = (common.quantize_model_operators(model, sample_x=sample_x,
                                               headroom=headroom)
               if int8 else model)
+    n_quant = sum(
+        1
+        for before, after in zip(_model_operators(model),
+                                 _model_operators(qmodel))
+        if after is not before
+    )
     gtree = common.graph_arrays(qmodel)
     leaves, treedef = jax.tree_util.tree_flatten((gtree, params))
 
@@ -69,7 +88,7 @@ def _prepare(model, params, example_x, int8, sample_x, headroom):
 
     x_spec = jax.ShapeDtypeStruct(example_x.shape,
                                   jnp.asarray(example_x).dtype)
-    return flat_apply, [jnp.asarray(v) for v in leaves], x_spec
+    return flat_apply, [jnp.asarray(v) for v in leaves], x_spec, n_quant
 
 
 class CompiledServing:
@@ -102,7 +121,7 @@ def compile_serving(model, params, example_x, int8: bool = True,
     ``max|example_x|`` (seeds the operators' static activation scale —
     the recurrence itself re-scales at runtime inside ``cheby_conv``).
     """
-    flat_apply, leaves, x_spec = _prepare(
+    flat_apply, leaves, x_spec, _ = _prepare(
         model, params, example_x, int8, sample_x, headroom
     )
     compiled = jax.jit(flat_apply).lower(leaves, x_spec).compile()
@@ -123,7 +142,18 @@ def export_serving(model, params, example_x, path: str,
     """
     from jax import export as jexport
 
-    flat_apply, leaves, x_spec = _prepare(
+    sharded = [type(o).__name__ for o in _model_operators(model)
+               if getattr(o, "mesh", None) is not None]
+    if sharded:
+        raise ValueError(
+            f"model carries sharded (halo) operators {sharded}: the "
+            "export artifact is the single-chip serving unit — a "
+            "shard_map program would bake the exporting mesh's device "
+            "count into the artifact.  Shard at the serving layer by "
+            "graph partition instead, or rebuild the model with "
+            "single-chip operators before exporting."
+        )
+    flat_apply, leaves, x_spec, n_quant = _prepare(
         model, params, example_x, int8, sample_x, headroom
     )
     leaf_specs = [jax.ShapeDtypeStruct(v.shape, v.dtype) for v in leaves]
@@ -138,8 +168,10 @@ def export_serving(model, params, example_x, path: str,
     # dtype/shape metadata and rebuild with jnp.dtype at load.
     np.savez(
         os.path.join(path, _LEAVES),
-        **{f"a{i}": v.view(np.uint8).reshape(-1) for i, v in
-           enumerate(host)},
+        # atleast_1d: numpy forbids dtype-size-changing views of 0-d
+        # arrays; shape metadata restores the original shape at load.
+        **{f"a{i}": np.atleast_1d(v).view(np.uint8).reshape(-1)
+           for i, v in enumerate(host)},
     )
     meta = {
         "n_leaves": len(host),
@@ -147,7 +179,12 @@ def export_serving(model, params, example_x, path: str,
         "leaf_shapes": [list(v.shape) for v in host],
         "input_shape": list(x_spec.shape),
         "input_dtype": str(x_spec.dtype),
-        "int8": bool(int8),
+        # ``int8`` records what the artifact actually computes in: False
+        # when the request converted no operator (e.g. an all-dense
+        # stack), so the metadata never overstates the quantization.
+        "int8": bool(int8) and n_quant > 0,
+        "int8_requested": bool(int8),
+        "quantized_operators": n_quant,
         "platforms": list(exp.platforms),
         "model": type(model).__name__,
     }

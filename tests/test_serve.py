@@ -128,6 +128,44 @@ class TestExportLoad:
         rel = np.linalg.norm(y_l - y_ref) / np.linalg.norm(y_ref)
         assert rel < 0.15, rel
 
+    def test_sharded_model_export_raises(self, tmp_path):
+        """Halo-sharded operators are not exportable (the artifact is the
+        single-chip serving unit): export_serving must refuse clearly
+        instead of failing deep in tracing or baking in a device count."""
+        from cnn_graph_tpu.data.synthetic import city_graph
+        from cnn_graph_tpu.parallel import banded_halo_laplacian, make_mesh
+
+        mesh = make_mesh(data=1, nodes=len(jax.devices()))
+        L, _ = city_graph(96, k=8, seed=0)
+        bop = banded_halo_laplacian(L, mesh, rows_per_step=1)
+        model = NodeClassifier(bop, input_features=3, num_classes=2,
+                               hidden=[], K=3)
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((bop.m_padded, 3), jnp.float32)
+        with pytest.raises(ValueError, match="sharded"):
+            serve.export_serving(model, params, x,
+                                 str(tmp_path / "nope"))
+
+    def test_int8_meta_reflects_actual_conversion(self, tmp_path):
+        """A dense-operator model passes through quantize unchanged; the
+        artifact metadata must say int8=False even though it was
+        requested (plus the request and the converted count)."""
+        z = gc.grid(12)
+        W = gc.knn_graph(z, k=8)
+        L = gc.laplacian(W, normalized=True)
+        op = device_laplacian(L, fmt="dense")
+        model = NodeClassifier(op, input_features=4, num_classes=3,
+                               hidden=[], K=3)
+        params = model.init(jax.random.PRNGKey(5))
+        x = jnp.asarray(np.random.default_rng(7).normal(
+            size=(op.m_padded, 4)), jnp.float32)
+        d = str(tmp_path / "dense")
+        serve.export_serving(model, params, x, d, int8=True)
+        ls = serve.load_serving(d)
+        assert ls.meta["int8"] is False
+        assert ls.meta["int8_requested"] is True
+        assert ls.meta["quantized_operators"] == 0
+
     def test_forecaster_exports(self, tmp_path):
         """The forecasting family (GConvLSTM variants) shares the
         apply(params, x) serving surface, so it exports unchanged."""
