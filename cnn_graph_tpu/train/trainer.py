@@ -51,6 +51,12 @@ class TrainConfig:
     checkpoint_dir: str | None = None  # enables periodic save + resume
     checkpoint_keep: int = 5
     log_path: str | None = None  # JSONL metrics stream
+    # Batch data parallelism (SURVEY.md §2.3 "the first parallelism to
+    # implement"): a jax.sharding.Mesh with a 'data' axis.  Batches are
+    # sharded P('data') inside every jitted program, parameters and
+    # optimizer state ride replicated, and XLA inserts the gradient
+    # psum over the mesh — the train step itself is unchanged.
+    mesh: Any = None
 
 
 class Trainer:
@@ -118,10 +124,30 @@ class Trainer:
 
         self._gtree = mcommon.graph_arrays(model)
 
+        if c.mesh is not None:
+            assert "data" in c.mesh.axis_names, c.mesh
+            n_dp = c.mesh.shape["data"]
+            assert c.batch_size % n_dp == 0, (
+                f"batch_size {c.batch_size} not divisible by the mesh's "
+                f"data axis ({n_dp})"
+            )
+
+        def shard_batch(x):
+            """Constrain a batch-leading array to P('data') — the GSPMD
+            annotation that turns the unchanged step into a DP program."""
+            if c.mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(
+                c.mesh, P("data", *([None] * (x.ndim - 1)))
+            )
+            return jax.lax.with_sharding_constraint(x, spec)
+
         def train_step(gtree, params, opt_state, ema, rng, data, labels, idx):
             m = mcommon.with_graph_arrays(model, gtree)
-            x = jnp.take(data, idx, axis=0)
-            y = jnp.take(labels, idx, axis=0)
+            x = shard_batch(jnp.take(data, idx, axis=0))
+            y = shard_batch(jnp.take(labels, idx, axis=0))
             rng, step_rng = jax.random.split(rng)
             loss, grads = jax.value_and_grad(m.loss)(
                 params, x, y, train=True, rng=step_rng
@@ -158,6 +184,7 @@ class Trainer:
         self._train_chunk = lambda *a: train_chunk_jit(self._gtree, *a)
 
         def predict_batch(gtree, params, x):
+            x = shard_batch(x)
             out = mcommon.with_graph_arrays(model, gtree).apply(params, x)
             if task == "regression":
                 return jax.nn.relu(out)  # graph_model.py:241
@@ -167,6 +194,7 @@ class Trainer:
         self._predict_batch = lambda *a: predict_batch_jit(self._gtree, *a)
 
         def eval_batch(gtree, params, x, y):
+            x, y = shard_batch(x), shard_batch(y)
             m = mcommon.with_graph_arrays(model, gtree)
             out = m.apply(params, x)
             loss = m.loss(params, x, y)
@@ -218,6 +246,17 @@ class Trainer:
         n = train_data.shape[0]
         data = jnp.asarray(train_data)
         labels = jnp.asarray(train_labels)
+        if c.mesh is not None:
+            # Device-resident dataset and all train-state leaves ride
+            # replicated; only the per-step batch (constrained P('data')
+            # inside the jitted step) is sharded.
+            from cnn_graph_tpu.parallel.mesh import replicated
+
+            repl = replicated(c.mesh)
+            data = jax.device_put(data, repl)
+            labels = jax.device_put(labels, repl)
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
         num_steps = int(c.num_epochs * n / c.batch_size)
 
         ema = jnp.float32(-1.0)

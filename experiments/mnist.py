@@ -27,7 +27,10 @@ def main():
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--K", type=int, default=25)
     p.add_argument("--filter", default="chebyshev",
-                   choices=["chebyshev", "fourier", "spline"])
+                   choices=["chebyshev", "fourier", "spline", "lanczos"])
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="batch data parallelism: shard each batch over "
+                        "an N-device 'data' mesh axis (TrainConfig.mesh)")
     p.add_argument("--n-train", type=int, default=55000,
                    help="synthetic-data size when no --data-dir")
     p.add_argument("--edge-noise", dest="edge_noise", type=float,
@@ -70,11 +73,18 @@ def main():
         laplacians=Ls, filter=args.filter, dropout=0.5,
         regularization=5e-4,
     )
+    mesh = None
+    if args.mesh_data:
+        from cnn_graph_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, nodes=1)
+        print(f"data-parallel training over mesh {dict(mesh.shape)}")
     n = splits["train_data"].shape[0]
     cfg = TrainConfig(
         num_epochs=args.epochs, learning_rate=args.learning_rate,
         decay_rate=0.95, decay_steps=n // args.batch_size,
         batch_size=args.batch_size, eval_frequency=200, seed=args.seed,
+        mesh=mesh,
     )
     trainer = Trainer(model, cfg, task="classification")
     hist, losses, t_step = trainer.fit(

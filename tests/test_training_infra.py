@@ -222,3 +222,78 @@ class TestGraphArraysThreading:
         np.testing.assert_allclose(
             np.asarray(clone.op.mat), 2 * np.asarray(op.mat)
         )
+
+
+class TestMeshDataParallel:
+    """User-facing batch DP through TrainConfig.mesh (SURVEY.md §2.3:
+    "batch sharding across a mesh axis; the first parallelism to
+    implement").  Same seeds, same data: the sharded trainer must match
+    the single-device one to accumulation-order precision."""
+
+    def _scenario(self):
+        from cnn_graph_tpu.models import ChebNet
+
+        rng = np.random.default_rng(0)
+        z = rng.uniform(size=(48, 2)).astype(np.float32)
+        W = gc.knn_graph(z, k=4)
+        L = gc.laplacian(W, normalized=True)
+        op = device_laplacian(L, fmt="dense")
+        model = ChebNet([op], F=[4], K=[3], p=[1], M=[3],
+                        dropout=1.0)
+        x = rng.normal(size=(64, op.m)).astype(np.float32)
+        y = rng.integers(0, 3, size=64).astype(np.int64)
+        return model, x, y
+
+    def _fit(self, mesh):
+        model, x, y = self._scenario()
+        cfg = TrainConfig(num_epochs=2, batch_size=16, eval_frequency=4,
+                          learning_rate=0.05, decay_steps=None, seed=7,
+                          mesh=mesh)
+        tr = Trainer(model, cfg, task="classification")
+        hist, losses, _ = tr.fit(x, y, x[:32], y[:32], verbose=False)
+        return tr, hist, losses
+
+    def test_dp_parity_with_single_device(self):
+        from cnn_graph_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=len(jax.devices()), nodes=1)
+        tr0, hist0, loss0 = self._fit(None)
+        tr1, hist1, loss1 = self._fit(mesh)
+
+        flat0 = jax.tree_util.tree_leaves(jax.device_get(tr0.params))
+        flat1 = jax.tree_util.tree_leaves(jax.device_get(tr1.params))
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(loss0, loss1, rtol=1e-3, atol=1e-4)
+
+    def test_dp_batches_actually_shard(self):
+        """The lowered train step must shard the gathered batch over the
+        'data' axis (not silently replicate the compute)."""
+        from cnn_graph_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=len(jax.devices()), nodes=1)
+        model, x, y = self._scenario()
+        cfg = TrainConfig(num_epochs=1, batch_size=16, eval_frequency=4,
+                          mesh=mesh)
+        tr = Trainer(model, cfg, task="classification")
+        params = model.init(jax.random.PRNGKey(0))
+        import optax
+
+        opt_state = tr.optimizer.init(params)
+        txt = tr._jitted["train_step"].lower(
+            tr._gtree, params, opt_state, jnp.float32(-1.0),
+            jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(y.shape, jnp.int64),
+            jax.ShapeDtypeStruct((16,), jnp.int32),
+        ).as_text()
+        assert "sharding" in txt
+
+    def test_batch_not_divisible_raises(self):
+        from cnn_graph_tpu.parallel import make_mesh
+
+        model, _, _ = self._scenario()
+        mesh = make_mesh(data=len(jax.devices()), nodes=1)
+        with pytest.raises(AssertionError, match="divisible"):
+            Trainer(model, TrainConfig(batch_size=9, mesh=mesh),
+                    task="classification")
