@@ -218,11 +218,23 @@ def _convert(item):
 
 
 def parse_rdata_bytes(raw: bytes) -> dict:
-    """Parse .RData / .rds bytes (optionally gzip/raw deflate) into a
-    dict of numpy values.  Workspaces map each top-level binding name to
-    its value; an .rds stream maps its single object to {"value": obj}."""
+    """Parse .RData / .rds bytes into a dict of numpy values.
+
+    Handles the three compressors ``save()`` can emit — gzip (the
+    default), bzip2 (``compress="bzip2"``), xz (``compress="xz"``) —
+    plus uncompressed streams.  Workspaces map each top-level binding
+    name to its value; an .rds stream maps its single object to
+    {"value": obj}."""
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
+    elif raw[:3] == b"BZh":
+        import bz2
+
+        raw = bz2.decompress(raw)
+    elif raw[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        raw = lzma.decompress(raw)
     if raw[:5] in (b"RDX3\n", b"RDX2\n", b"RDA3\n", b"RDA2\n"):
         r = _XDRReader(raw, pos=5)
         r.header(rds=False)

@@ -156,6 +156,82 @@ class TestRData:
         np.testing.assert_array_equal(out["flags"], [1, 0])
         assert out["ss"][0] == "ab" and out["ss"][1] is None
 
+    def test_r_faithful_version3_stream(self, tmp_path):
+        """A byte-for-byte transcription of what R >= 3.6 ``save(x, y,
+        file=...)`` actually writes (serialize.c layout), authored
+        independently of the parser AND of this file's ``_xdr_*``
+        helpers.  Covers real-R behaviors the hand-built fixtures omit:
+        the version-3 header with its native-encoding field, CHARSXP
+        encoding-level bits (ASCII mask 64 << 12), and REFSXP reuse of
+        the repeated ``dim`` symbol across bindings.  Reference
+        semantics: /root/reference/nips2016/loadRData.py:13-25."""
+        import gzip
+        import struct
+
+        from cnn_graph_tpu.data.rdata import rdata_to_dict
+
+        def u(*vals):  # big-endian words, R's XDR format
+            return b"".join(struct.pack(">i", v) for v in vals)
+
+        body = (
+            b"X\n"
+            + u(3)                 # serialization version 3
+            + u(0x030603)          # writer: R 3.6.3
+            + u(0x030500)          # min reader: R 3.5.0
+            + u(5) + b"UTF-8"      # v3 native encoding
+            # binding: x <- matrix(1:6, nrow=2)
+            + u(0x402)             # LISTSXP | HASTAG
+            + u(0x1)               # SYMSXP  (-> ref 1)
+            + u(0x40009) + u(1) + b"x"   # CHARSXP, ASCII levels
+            + u(0x20D) + u(6) + u(1, 2, 3, 4, 5, 6)  # INTSXP | HASATTR
+            + u(0x402)             # attr pairlist
+            + u(0x1)               # SYMSXP "dim" (-> ref 2)
+            + u(0x40009) + u(3) + b"dim"
+            + u(0xD) + u(2) + u(2, 3)    # dim = c(2L, 3L)
+            + u(0xFE)              # NILVALUE ends attributes
+            # binding: y <- matrix(c(1.5, 2.5), nrow=1)
+            + u(0x402)
+            + u(0x1)               # SYMSXP "y" (-> ref 3)
+            + u(0x40009) + u(1) + b"y"
+            + u(0x20E) + u(2)      # REALSXP | HASATTR
+            + struct.pack(">2d", 1.5, 2.5)
+            + u(0x402)
+            + u(0x2FF)             # REFSXP -> ref 2 ("dim"), idx in flags
+            + u(0xD) + u(2) + u(1, 2)
+            + u(0xFE)
+            + u(0xFE)              # NILVALUE ends the workspace pairlist
+        )
+        p = tmp_path / "real.RData"
+        p.write_bytes(gzip.compress(b"RDX3\n" + body))
+        out = rdata_to_dict(str(p))
+        np.testing.assert_array_equal(
+            out["x"], np.arange(1, 7).reshape(2, 3, order="F"))
+        np.testing.assert_array_equal(out["y"], [[1.5, 2.5]])
+
+    @pytest.mark.parametrize("comp", ["bzip2", "xz"])
+    def test_save_compress_variants(self, tmp_path, comp):
+        """R's save(compress="bzip2"/"xz") wrappers decompress too."""
+        import struct
+
+        from cnn_graph_tpu.data.rdata import parse_rdata_bytes
+
+        raw = _xdr_workspace([
+            ("v", _xdr_int(14) + _xdr_int(1) + struct.pack(">d", 4.25)),
+        ])
+        import gzip
+
+        plain = gzip.decompress(raw)
+        if comp == "bzip2":
+            import bz2
+
+            wrapped = bz2.compress(plain)
+        else:
+            import lzma
+
+            wrapped = lzma.compress(plain, format=lzma.FORMAT_XZ)
+        out = parse_rdata_bytes(wrapped)
+        assert float(out["v"][0]) == 4.25
+
     def test_unsupported_falls_back_with_clear_error(self, tmp_path):
         from cnn_graph_tpu.data.rdata import rdata_to_dict
 
