@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 
 from cnn_graph_tpu.models import common
-from cnn_graph_tpu.ops import cheby_conv, fourier_conv, max_pool, avg_pool
+from cnn_graph_tpu.ops import (
+    avg_pool,
+    cheby_conv,
+    fourier_conv,
+    lanczos_conv,
+    max_pool,
+)
 from cnn_graph_tpu.graphs import construction as gc
 
 __all__ = ["ChebNet", "bspline_basis"]
@@ -72,8 +78,11 @@ class ChebNet:
       orders, pooling sizes (powers of two).
     * ``M`` — fully-connected layer widths; ``M[-1]`` is the class count.
     * ``laplacians`` — the host-side scipy Laplacians (needed for the
-      Fourier/spline filters' eigenbases; optional for Chebyshev).
-    * ``filter`` — ``chebyshev`` | ``fourier`` | ``spline``.
+      Fourier/spline filters' eigenbases; optional for Chebyshev/Lanczos).
+    * ``filter`` — ``chebyshev`` | ``fourier`` | ``spline`` | ``lanczos``
+      (the last resolves the reference's named-but-dormant ``lanczos2``
+      option, lib/models.py:40 / lib/graph.py:184-229: a per-signal
+      K-step Krylov basis computed on device, taps like Chebyshev).
     * ``brelu`` — ``b1relu`` | ``b2relu`` | ``b1tanh``.
     * ``pool`` — ``max`` | ``average`` (mpool1/apool1 in the reference).
     * ``dropout`` — keep probability for fc-layer dropout.
@@ -140,7 +149,7 @@ class ChebNet:
         for i, (fout, klayer) in enumerate(zip(self.F, self.K)):
             key, wk = jax.random.split(key)
             m_i = self.operators[i].m
-            if self.filter == "chebyshev":
+            if self.filter in ("chebyshev", "lanczos"):
                 w = common.trunc_normal(wk, (klayer, fin, fout))
             elif self.filter == "fourier":
                 w = common.trunc_normal(wk, (m_i, fout, fin))
@@ -163,6 +172,8 @@ class ChebNet:
     def _filter(self, i, x, w):
         if self.filter == "chebyshev":
             return cheby_conv(x, self.operators[i], w)
+        if self.filter == "lanczos":
+            return lanczos_conv(x, self.operators[i], w)
         U, Bmat = self._bases[i]
         if self.filter == "fourier":
             return fourier_conv(x, U, w)

@@ -5,6 +5,8 @@ from cnn_graph_tpu.ops.filters import (
     cheby_conv,
     cheby_weights_from_flat,
     fourier_conv,
+    lanczos_basis_device,
+    lanczos_conv,
 )
 from cnn_graph_tpu.ops.laplacian import (
     BandedLaplacian,
@@ -25,6 +27,8 @@ __all__ = [
     "cheby_conv",
     "cheby_weights_from_flat",
     "fourier_conv",
+    "lanczos_basis_device",
+    "lanczos_conv",
     "BandedLaplacian",
     "BCOOLaplacian",
     "BlockSparseLaplacian",

@@ -39,14 +39,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["band_spmm", "band_cheby_hop", "banded_call",
-           "banded_call_ragged", "PREFETCH_AHEAD", "ROWS_PER_STEP"]
+__all__ = ["band_spmm", "band_cheby_hop", "band_cheby_hop_c",
+           "banded_call", "banded_call_ragged", "PREFETCH_AHEAD",
+           "ROWS_PER_STEP"]
 
 PREFETCH_AHEAD = 1  # super-steps of DMA lookahead (NB = PA + 1 band slabs
 # in VMEM); one super-step ahead is G block-rows of in-flight transfers.
 ROWS_PER_STEP = 8  # max default G: block-rows per grid step (the
 # VMEM-budget rule in laplacian.pack_banded picks the largest G <= this)
-_NB = PREFETCH_AHEAD + 1
 
 
 def ring_span(base, W: int, G: int, pa: int = PREFETCH_AHEAD) -> int:
@@ -68,9 +68,14 @@ def ring_span(base, W: int, G: int, pa: int = PREFETCH_AHEAD) -> int:
 
 
 def _kernel(base_ref, band_ref, x_ref, *rest,
-            W, br, bc, tc, R, G, hop, band_scale=None):
-    # rest is (x0_ref, y_ref, scratch...) for the fused Chebyshev hop
-    # (y = 2 L@x - x0) or (y_ref, scratch...) for the plain SpMM.
+            W, br, bc, tc, R, G, hop, has_c=False, band_scale=None,
+            pa=None):
+    # rest is (x0_ref, [c_ref,] y_ref, scratch...) for the fused Chebyshev
+    # hop (y = 2 L@x - x0 [+ c]) or (y_ref, scratch...) for the plain
+    # SpMM.  ``c`` is the adjoint-chain injection input (the per-hop tap
+    # cotangent g W_k^T; see filters.cheby_conv_banded) — folding it into
+    # the emission saves a separate 3-transfer XLA elementwise pass per
+    # backward hop.
     # ``band_scale`` switches the kernel to the quantized-inference path:
     # int8 band x int8 activations, pure int32 accumulation (2x the bf16
     # MXU rate class; measured 95.7 vs 73 TOP/FLOP per tap), with the
@@ -79,7 +84,10 @@ def _kernel(base_ref, band_ref, x_ref, *rest,
     # on the rescaled spectrum bounds the carries), so no per-tap scale
     # FMA is needed — measured to cost 13% of the tap rate otherwise
     # (experiments/_probe.py mxu; DESIGN.md §11).
-    if hop:
+    c_ref = None
+    if hop and has_c:
+        x0_ref, c_ref, y_ref, bandbuf, xring, bsem, xsem = rest
+    elif hop:
         x0_ref, y_ref, bandbuf, xring, bsem, xsem = rest
     else:
         y_ref, bandbuf, xring, bsem, xsem = rest
@@ -89,7 +97,8 @@ def _kernel(base_ref, band_ref, x_ref, *rest,
     j = pl.program_id(0)
     s = pl.program_id(1)
     nsb = pl.num_programs(1)
-    PA = PREFETCH_AHEAD
+    PA = PREFETCH_AHEAD if pa is None else pa
+    NB = PA + 1
     last = nsb - 1
 
     def band_dma(step, slot):
@@ -133,18 +142,18 @@ def _kernel(base_ref, band_ref, x_ref, *rest,
     @pl.when(s == 0)
     def _():
         for t in range(min(PA, nsb)):  # nsb is static
-            band_dma(t, t % _NB).start()
+            band_dma(t, t % NB).start()
         start_cols(base_s, hi(jnp.minimum(PA - 1, last)))
 
     # Per-step prefetch: slab s+PA and its newly entering x-columns.
     @pl.when(s + PA < nsb)
     def _():
-        band_dma(s + PA, jax.lax.rem(s + PA, _NB)).start()
+        band_dma(s + PA, jax.lax.rem(s + PA, NB)).start()
     start_cols(hi(jnp.minimum(s + PA - 1, last)),
                hi(jnp.minimum(s + PA, last)))
 
     # Wait for this step's band slab and newly needed x-columns.
-    slot = jax.lax.rem(s, _NB)
+    slot = jax.lax.rem(s, NB)
     band_dma(s, slot).wait()
 
     @pl.when(s == 0)
@@ -167,28 +176,32 @@ def _kernel(base_ref, band_ref, x_ref, *rest,
                 xring[jax.lax.rem(base_g + d, R)],
                 preferred_element_type=acc_dt,
             )
-        _emit_row(y_ref, x0_ref, acc, g, br, hop, quant, band_scale)
+        _emit_row(y_ref, x0_ref, c_ref, acc, g, br, hop, quant, band_scale)
 
 
-def _emit_row(y_ref, x0_ref, acc, g, br, hop, quant, band_scale):
+def _emit_row(y_ref, x0_ref, c_ref, acc, g, br, hop, quant, band_scale):
     """Per-block-row emission epilogue shared by the uniform and ragged
-    kernels: fused hop update and (for the int8 path) dequant/requant in
-    input-scale units."""
+    kernels: fused hop update, optional adjoint-chain injection ``+ c``,
+    and (for the int8 path) dequant/requant in input-scale units."""
+    rows = slice(g * br, (g + 1) * br)
     if quant:
         y = band_scale * acc.astype(jnp.float32)
         if hop:
-            y = 2.0 * y - x0_ref[g * br:(g + 1) * br, :].astype(jnp.float32)
-        y_ref[g * br:(g + 1) * br, :] = jnp.clip(
+            y = 2.0 * y - x0_ref[rows, :].astype(jnp.float32)
+        y_ref[rows, :] = jnp.clip(
             jnp.round(y), -127.0, 127.0
         ).astype(y_ref.dtype)
         return
     if hop:
-        acc = 2.0 * acc - x0_ref[g * br:(g + 1) * br, :].astype(jnp.float32)
-    y_ref[g * br:(g + 1) * br, :] = acc.astype(y_ref.dtype)
+        acc = 2.0 * acc - x0_ref[rows, :].astype(jnp.float32)
+        if c_ref is not None:
+            acc = acc + c_ref[rows, :].astype(jnp.float32)
+    y_ref[rows, :] = acc.astype(y_ref.dtype)
 
 
 def _kernel_ragged(base_ref, sched_ref, band_ref, x_ref, *rest,
-                   levels, br, bc, tc, R, G, hop, band_scale=None):
+                   levels, br, bc, tc, R, G, hop, has_c=False,
+                   band_scale=None, pa=None):
     """Ragged-width variant of ``_kernel``: the band is stored flat
     ``[total_blocks, br, bc]`` and each row-super-step ``s`` carries
     ``G * W_s`` blocks, where ``W_s`` is one of the static ``levels``
@@ -205,7 +218,10 @@ def _kernel_ragged(base_ref, sched_ref, band_ref, x_ref, *rest,
     the per-tap predication cost that killed in-kernel raggedness
     (DESIGN.md §11) is amortized away.  Levels are compiled as separate
     static code paths selected by ``pl.when``."""
-    if hop:
+    c_ref = None
+    if hop and has_c:
+        x0_ref, c_ref, y_ref, bandbuf, xring, bsem, xsem = rest
+    elif hop:
         x0_ref, y_ref, bandbuf, xring, bsem, xsem = rest
     else:
         y_ref, bandbuf, xring, bsem, xsem = rest
@@ -215,7 +231,8 @@ def _kernel_ragged(base_ref, sched_ref, band_ref, x_ref, *rest,
     j = pl.program_id(0)
     s = pl.program_id(1)
     nsb = pl.num_programs(1)
-    PA = PREFETCH_AHEAD
+    PA = PREFETCH_AHEAD if pa is None else pa
+    NB = PA + 1
     last = nsb - 1
 
     def band_dma(step, slot, lvl):
@@ -255,17 +272,17 @@ def _kernel_ragged(base_ref, sched_ref, band_ref, x_ref, *rest,
     @pl.when(s == 0)
     def _():
         for t in range(min(PA, nsb)):  # nsb is static
-            for_level(t, lambda lvl, t=t: band_dma(t, t % _NB, lvl).start())
+            for_level(t, lambda lvl, t=t: band_dma(t, t % NB, lvl).start())
         start_cols(base_s, hi(PA - 1))
 
     # Per-step prefetch: slab s+PA and its newly entering x-columns.
     @pl.when(s + PA < nsb)
     def _():
         for_level(s + PA, lambda lvl: band_dma(
-            s + PA, jax.lax.rem(s + PA, _NB), lvl).start())
+            s + PA, jax.lax.rem(s + PA, NB), lvl).start())
     start_cols(hi(s + PA - 1), hi(s + PA))
 
-    slot = jax.lax.rem(s, _NB)
+    slot = jax.lax.rem(s, NB)
     for_level(s, lambda lvl: band_dma(s, slot, lvl).wait())
 
     @pl.when(s == 0)
@@ -288,22 +305,25 @@ def _kernel_ragged(base_ref, sched_ref, band_ref, x_ref, *rest,
                     xring[jax.lax.rem(base_g + d, R)],
                     preferred_element_type=acc_dt,
                 )
-            _emit_row(y_ref, x0_ref, acc, g, br, hop, quant, band_scale)
+            _emit_row(y_ref, x0_ref, c_ref, acc, g, br, hop, quant,
+                      band_scale)
 
     for_level(s, compute)
 
 
-def banded_call_ragged(band, base, sched, x, x0=None, *, levels, ring, G,
-                       out_rows, col_tile: int = 512,
+def banded_call_ragged(band, base, sched, x, x0=None, c=None, *, levels,
+                       ring, G, out_rows, col_tile: int = 512,
                        interpret: bool = False,
-                       band_scale: float | None = None):
+                       band_scale: float | None = None,
+                       prefetch_ahead: int | None = None):
     """Ragged banded SpMM / fused-hop kernel call.
 
     ``band``: flat ``[total_blocks, br, bc]``; ``sched``: int32 ``[3,
     nsb]`` (offsets / level indices / column high-water marks, see
     ``_kernel_ragged``); ``levels``: static ascending tuple of the
-    distinct per-super-step widths.  Everything else matches
-    ``banded_call``.
+    distinct per-super-step widths.  ``c`` (requires ``x0``) is the
+    adjoint-chain injection: ``y = 2 (L @ x) - x0 + c`` in one pass.
+    Everything else matches ``banded_call``.
     """
     total, br, bc = band.shape
     nsb = sched.shape[1]
@@ -312,6 +332,7 @@ def banded_call_ragged(band, base, sched, x, x0=None, *, levels, ring, G,
     R = ring
     W_max = levels[-1]
     assert col_tile % 128 == 0
+    assert c is None or x0 is not None, "c injection requires the hop form"
     C = x.shape[1]
     tc = min(col_tile, max(128, -(-C // 128) * 128))
     cp = -(-C // tc) * tc
@@ -319,37 +340,44 @@ def banded_call_ragged(band, base, sched, x, x0=None, *, levels, ring, G,
         x = jnp.pad(x, ((0, 0), (0, cp - C)))
         if x0 is not None:
             x0 = jnp.pad(x0, ((0, 0), (0, cp - C)))
+        if c is not None:
+            c = jnp.pad(c, ((0, 0), (0, cp - C)))
     hop = x0 is not None
+    has_c = c is not None
+    nb = (PREFETCH_AHEAD if prefetch_ahead is None else prefetch_ahead) + 1
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # band stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
     ]
+    row_block = pl.BlockSpec(
+        (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
+    )
     if hop:
-        in_specs.append(pl.BlockSpec(
-            (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
-        ))
+        in_specs.append(row_block)
+    if has_c:
+        in_specs.append(row_block)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(cp // tc, nsb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
-        ),
+        out_specs=row_block,
         scratch_shapes=[
-            pltpu.VMEM((_NB, G * W_max, br, bc), band.dtype),
+            pltpu.VMEM((nb, G * W_max, br, bc), band.dtype),
             pltpu.VMEM((R, bc, tc), x.dtype),
-            pltpu.SemaphoreType.DMA((_NB,)),
+            pltpu.SemaphoreType.DMA((nb,)),
             pltpu.SemaphoreType.DMA((R,)),
         ],
     )
 
-    operands = (base, sched, band, x) + ((x0,) if hop else ())
+    operands = (base, sched, band, x) + ((x0,) if hop else ()) + (
+        (c,) if has_c else ()
+    )
     y = pl.pallas_call(
         functools.partial(_kernel_ragged, levels=tuple(levels), br=br,
-                          bc=bc, tc=tc, R=R, G=G, hop=hop,
-                          band_scale=band_scale),
+                          bc=bc, tc=tc, R=R, G=G, hop=hop, has_c=has_c,
+                          band_scale=band_scale, pa=prefetch_ahead),
         out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -357,7 +385,7 @@ def banded_call_ragged(band, base, sched, x, x0=None, *, levels, ring, G,
             flops=2 * total * br * bc * cp,
             bytes_accessed=(
                 band.size * band.dtype.itemsize * (cp // tc)
-                + (3 if hop else 2) * mp * cp * x.dtype.itemsize
+                + (3 + has_c if hop else 2) * mp * cp * x.dtype.itemsize
             ),
             transcendentals=0,
         ),
@@ -387,30 +415,49 @@ def _band_bwd(col_tile, interpret, L, g):
     return zero_cotangent(L), _band_spmm_impl(L, g, col_tile, interpret)
 
 
-def _band_call(L, x, x0, col_tile, interpret):
+def _band_call(L, x, x0, col_tile, interpret, c=None):
     if getattr(L, "levels", ()):
         import numpy as np
 
         return banded_call_ragged(
             L.band, L.base, jnp.asarray(np.asarray(L.sched, np.int32)),
-            x, x0, levels=L.levels, ring=L.ring_slots,
+            x, x0, c, levels=L.levels, ring=L.ring_slots,
             G=L.rows_per_step, out_rows=L.m_padded, col_tile=col_tile,
             interpret=interpret,
         )
-    return banded_call(L.band, L.base, x, x0, ring=L.ring_slots,
+    return banded_call(L.band, L.base, x, x0, c, ring=L.ring_slots,
                        G=L.rows_per_step, out_rows=L.m_padded,
                        col_tile=col_tile, interpret=interpret)
 
 
-def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
+def band_cheby_hop_c(L, x1: jax.Array, x0: jax.Array, c: jax.Array,
+                     col_tile: int = 512,
+                     interpret: bool = False) -> jax.Array:
+    """Adjoint-chain hop ``y = 2 (L @ x1) - x0 + c`` in ONE kernel pass.
+
+    The reverse of the Chebyshev three-term recurrence is itself a
+    three-term recurrence with a per-step injection (the tap cotangent
+    ``g W_k^T``; see filters.cheby_conv_banded) — folding the injection
+    into the emission saves one full 3-transfer elementwise pass per
+    backward hop.  No VJP: this is a building block used INSIDE the
+    conv-level custom VJP, never differentiated through."""
+    if L.use_pallas:
+        return _band_call(L, x1, x0, col_tile, interpret, c=c)
+    return (2.0 * L.matmul(x1) - x0 + c).astype(x1.dtype)
+
+
+def banded_call(band, base, x, x0=None, c=None, *, ring, G, out_rows,
                 col_tile: int = 512, interpret: bool = False,
-                band_scale: float | None = None):
+                band_scale: float | None = None,
+                prefetch_ahead: int | None = None):
     """Raw banded SpMM / fused-hop kernel call on explicit fields.
 
     ``x`` may have MORE rows than ``out_rows`` (extended-column use: the
     sharded halo operator feeds ``[left halo | local | right halo]``
     activations while producing only the local rows); ``base`` indexes
-    x's block rows directly.  No custom VJP here — the L-level wrappers
+    x's block rows directly.  ``c`` (requires ``x0``) folds the
+    adjoint-chain injection into the emission: ``y = 2 (L @ x) - x0 +
+    c`` in one pass.  No custom VJP here — the L-level wrappers
     (band_spmm / band_cheby_hop) and the sharded operators define their
     own adjoints.
 
@@ -425,6 +472,7 @@ def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
         f"col_tile={col_tile} must be a multiple of 128 (TPU lane width); "
         "a non-aligned tile yields an opaque Mosaic compile error"
     )
+    assert c is None or x0 is not None, "c injection requires the hop form"
     C = x.shape[1]
     tc = min(col_tile, max(128, -(-C // 128) * 128))
     cp = -(-C // tc) * tc
@@ -432,37 +480,45 @@ def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
         x = jnp.pad(x, ((0, 0), (0, cp - C)))
         if x0 is not None:
             x0 = jnp.pad(x0, ((0, 0), (0, cp - C)))
+        if c is not None:
+            c = jnp.pad(c, ((0, 0), (0, cp - C)))
     hop = x0 is not None
+    has_c = c is not None
+    nb = (PREFETCH_AHEAD if prefetch_ahead is None else prefetch_ahead) + 1
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # band stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
     ]
+    row_block = pl.BlockSpec(
+        (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
+    )
     if hop:
-        # x0 blocks align with y blocks; Pallas pipelines them in.
-        in_specs.append(pl.BlockSpec(
-            (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
-        ))
+        # x0 (and c) blocks align with y blocks; Pallas pipelines them in.
+        in_specs.append(row_block)
+    if has_c:
+        in_specs.append(row_block)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(cp // tc, nbr // G),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
-        ),
+        out_specs=row_block,
         scratch_shapes=[
-            pltpu.VMEM((_NB, G, W, br, bc), band.dtype),    # band slabs
+            pltpu.VMEM((nb, G, W, br, bc), band.dtype),     # band slabs
             pltpu.VMEM((R, bc, tc), x.dtype),               # x column ring
-            pltpu.SemaphoreType.DMA((_NB,)),
+            pltpu.SemaphoreType.DMA((nb,)),
             pltpu.SemaphoreType.DMA((R,)),
         ],
     )
 
-    operands = (base, band, x) + ((x0,) if hop else ())
+    operands = (base, band, x) + ((x0,) if hop else ()) + (
+        (c,) if has_c else ()
+    )
     y = pl.pallas_call(
         functools.partial(_kernel, W=W, br=br, bc=bc, tc=tc, R=R, G=G,
-                          hop=hop, band_scale=band_scale),
+                          hop=hop, has_c=has_c, band_scale=band_scale,
+                          pa=prefetch_ahead),
         out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -470,7 +526,7 @@ def banded_call(band, base, x, x0=None, *, ring, G, out_rows,
             flops=2 * nbr * W * br * bc * cp,
             bytes_accessed=(
                 band.size * band.dtype.itemsize * (cp // tc)
-                + (3 if hop else 2) * mp * cp * x.dtype.itemsize
+                + (3 + has_c if hop else 2) * mp * cp * x.dtype.itemsize
             ),
             transcendentals=0,
         ),

@@ -43,6 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cnn_graph_tpu.graphs.construction import rescale_laplacian
 from cnn_graph_tpu.ops.laplacian import (
     ChebyHopMixin,
+    QuantOpMixin,
     auto_rows_per_step,
     band_stats,
     pack_banded,
@@ -121,6 +122,15 @@ class BandedHaloLaplacian(ChebyHopMixin):
         sharding)."""
         return _banded_halo_hop(self, x1, x0)
 
+    def cheby_chain(self, x: jax.Array, K: int) -> jax.Array:
+        """The stacked K-term Chebyshev basis ``[K, Mp, C]`` with ALL
+        hops (ppermutes included) inside ONE shard_map region — one
+        dispatch per chain instead of per SpMM (the per-hop wrapper
+        bound caps strong scaling; BASELINE.md).  Differentiable: the
+        adjoint recurrence runs as one region too.  Bit-exact with the
+        per-hop path."""
+        return _banded_halo_chain(self, x, K)
+
     # ---- shard-local implementation ----
 
     def _apply_impl(self, x: jax.Array, x0: jax.Array | None) -> jax.Array:
@@ -151,91 +161,97 @@ def _exchange_parts(op, x_local):
     return parts
 
 
-def _apply_sharded(op, x: jax.Array, x0: jax.Array | None,
-                   band_scale: float | None = None) -> jax.Array:
-    """Shared shard-local apply for the f32/bf16 and int8 operators.
+def _shard_hop(op, band, base, x_local, x0_local,
+               band_scale: float | None):
+    """One shard-local fused hop: neighbor exchange + banded pass.
 
-    ``band_scale`` switches on the quantized path: int8 band x int8
-    activations, int32 window taps, dequant/requant at emission — the
-    same integer arithmetic as ``QuantBandedLaplacian._call``, so the
-    sharded chain is bit-exact with the single-chip one.  The halo
-    ppermutes then move int8 payloads: HALF the ICI bytes per hop of
-    the bf16 training operator (DESIGN.md §13)."""
+    ``band``/``base`` are the unwrapped per-shard slices; runs inside a
+    ``shard_map`` region.  ``band_scale`` switches on the quantized
+    path: int8 band x int8 activations, int32 window taps,
+    dequant/requant at emission — the same integer arithmetic as
+    ``QuantBandedLaplacian._call``, so the sharded chain is bit-exact
+    with the single-chip one.  The halo ppermutes then move int8
+    payloads: HALF the ICI bytes per hop of the bf16 training operator
+    (DESIGN.md §13)."""
     ms = op.rows_per_shard
     quant = band_scale is not None
+    nbr_s, _W, br, _bc = band.shape
 
-    def local(band, base, *xs):
-        band, base = band[0], base[0]
-        x_local = xs[0]
-        x0_local = xs[1] if len(xs) > 1 else None
-        nbr_s, _W, br, _bc = band.shape
+    def run(bslice, baseslice, xarr, x0slice, out_rows):
+        """One banded pass on a row sub-range (Pallas on TPU, an
+        accumulator-exact einsum oracle elsewhere)."""
+        if op.use_pallas:
+            from cnn_graph_tpu.ops.pallas_band import banded_call
 
-        def run(bslice, baseslice, xarr, x0slice, out_rows):
-            """One banded pass on a row sub-range (Pallas on TPU, an
-            accumulator-exact einsum oracle elsewhere)."""
-            if op.use_pallas:
-                from cnn_graph_tpu.ops.pallas_band import banded_call
-
-                return banded_call(
-                    bslice, baseslice, xarr, x0slice,
-                    ring=op.ring_slots, G=op.rows_per_step,
-                    out_rows=out_rows, band_scale=band_scale,
-                ).astype(x_local.dtype)
-            _nb, W, _br, bc = bslice.shape
-            xb = xarr.reshape(-1, bc, xarr.shape[1])
-            cols = baseslice[:, None] + jnp.arange(W)[None, :]
-            wins = jnp.take(xb, cols, axis=0)  # [rows, W, bc, C]
-            if quant:
-                acc = jnp.einsum(
-                    "iwab,iwbc->iac", bslice, wins,
-                    preferred_element_type=jnp.int32,
-                ).reshape(out_rows, -1)
-                y = band_scale * acc.astype(jnp.float32)
-                if x0slice is not None:
-                    y = 2.0 * y - x0slice.astype(jnp.float32)
-                return jnp.clip(jnp.round(y), -127.0, 127.0).astype(
-                    x_local.dtype
-                )
-            y = jnp.einsum(
-                "iwab,iwbc->iac", bslice.astype(x_local.dtype), wins,
-                preferred_element_type=jnp.float32,
+            return banded_call(
+                bslice, baseslice, xarr, x0slice,
+                ring=op.ring_slots, G=op.rows_per_step,
+                out_rows=out_rows, band_scale=band_scale,
+            ).astype(x_local.dtype)
+        _nb, W, _br, bc = bslice.shape
+        xb = xarr.reshape(-1, bc, xarr.shape[1])
+        cols = baseslice[:, None] + jnp.arange(W)[None, :]
+        wins = jnp.take(xb, cols, axis=0)  # [rows, W, bc, C]
+        if quant:
+            acc = jnp.einsum(
+                "iwab,iwbc->iac", bslice, wins,
+                preferred_element_type=jnp.int32,
             ).reshape(out_rows, -1)
+            y = band_scale * acc.astype(jnp.float32)
             if x0slice is not None:
-                y = 2.0 * y - x0slice
-            return y.astype(x_local.dtype)
-
-        def x0_rows(lo, hi):
-            return (None if x0_local is None
-                    else x0_local[lo * br:hi * br])
-
-        parts = _exchange_parts(op, x_local)
-        pre, suf = op.boundary_pre, op.boundary_suf
-        interior = nbr_s - pre - suf
-        if op.overlap and interior > 0 and (pre or suf):
-            # Interior block-rows read only local columns: shift
-            # their window bases out of the extended space and run
-            # them against x_local — no dependence on the ppermute
-            # results, so the exchange hides behind this pass.
-            y_int = run(
-                band[pre:pre + interior],
-                base[pre:pre + interior] - op.halo_left,
-                x_local, x0_rows(pre, pre + interior), interior * br,
+                y = 2.0 * y - x0slice.astype(jnp.float32)
+            return jnp.clip(jnp.round(y), -127.0, 127.0).astype(
+                x_local.dtype
             )
-            x_ext = (jnp.concatenate(parts, axis=0)
-                     if len(parts) > 1 else x_local)
-            ys = []
-            if pre:
-                ys.append(run(band[:pre], base[:pre], x_ext,
-                              x0_rows(0, pre), pre * br))
-            ys.append(y_int)
-            if suf:
-                ys.append(run(band[nbr_s - suf:], base[nbr_s - suf:],
-                              x_ext, x0_rows(nbr_s - suf, nbr_s),
-                              suf * br))
-            return jnp.concatenate(ys, axis=0)
+        y = jnp.einsum(
+            "iwab,iwbc->iac", bslice.astype(x_local.dtype), wins,
+            preferred_element_type=jnp.float32,
+        ).reshape(out_rows, -1)
+        if x0slice is not None:
+            y = 2.0 * y - x0slice
+        return y.astype(x_local.dtype)
+
+    def x0_rows(lo, hi):
+        return (None if x0_local is None
+                else x0_local[lo * br:hi * br])
+
+    parts = _exchange_parts(op, x_local)
+    pre, suf = op.boundary_pre, op.boundary_suf
+    interior = nbr_s - pre - suf
+    if op.overlap and interior > 0 and (pre or suf):
+        # Interior block-rows read only local columns: shift
+        # their window bases out of the extended space and run
+        # them against x_local — no dependence on the ppermute
+        # results, so the exchange hides behind this pass.
+        y_int = run(
+            band[pre:pre + interior],
+            base[pre:pre + interior] - op.halo_left,
+            x_local, x0_rows(pre, pre + interior), interior * br,
+        )
         x_ext = (jnp.concatenate(parts, axis=0)
                  if len(parts) > 1 else x_local)
-        return run(band, base, x_ext, x0_local, ms)
+        ys = []
+        if pre:
+            ys.append(run(band[:pre], base[:pre], x_ext,
+                          x0_rows(0, pre), pre * br))
+        ys.append(y_int)
+        if suf:
+            ys.append(run(band[nbr_s - suf:], base[nbr_s - suf:],
+                          x_ext, x0_rows(nbr_s - suf, nbr_s),
+                          suf * br))
+        return jnp.concatenate(ys, axis=0)
+    x_ext = (jnp.concatenate(parts, axis=0)
+             if len(parts) > 1 else x_local)
+    return run(band, base, x_ext, x0_local, ms)
+
+
+def _apply_sharded(op, x: jax.Array, x0: jax.Array | None,
+                   band_scale: float | None = None) -> jax.Array:
+    """One sharded hop as its own shard_map region (see _shard_hop)."""
+
+    def local(band, base, *xs):
+        return _shard_hop(op, band[0], base[0], xs[0],
+                          xs[1] if len(xs) > 1 else None, band_scale)
 
     operands = (op.band, op.base, x) + (
         (x0,) if x0 is not None else ()
@@ -253,6 +269,92 @@ def _apply_sharded(op, x: jax.Array, x0: jax.Array | None,
         axis_names=set(op.mesh.axis_names),
         check_vma=False,
     )(*operands)
+
+
+def _chain_sharded(op, x: jax.Array, K: int,
+                   band_scale: float | None = None) -> jax.Array:
+    """The WHOLE K-term Chebyshev basis in ONE shard_map region.
+
+    Per-hop operators pay one dispatch (plus GSPMD entry/exit resharding)
+    per SpMM — measured at up to ~78 us on the tunnel (BASELINE.md), which
+    caps strong scaling at 2-4 chips.  Running all K-1 hops (ppermutes
+    included) inside a single region amortizes that cost per CHAIN: the
+    collectives stay on the ICI ring, and XLA schedules the whole
+    recurrence as one program.  Returns the stacked basis ``[K, Mp, C]``
+    (sharded P(None, 'nodes', None)); bit-exact with the per-hop path
+    (same per-shard arithmetic, same order)."""
+
+    def local(band, base, x_local):
+        band, base = band[0], base[0]
+        basis = [x_local]
+        if K > 1:
+            basis.append(
+                _shard_hop(op, band, base, x_local, None, band_scale)
+            )
+        for _ in range(2, K):
+            basis.append(
+                _shard_hop(op, band, base, basis[-1], basis[-2],
+                           band_scale)
+            )
+        return jnp.stack(basis)
+
+    return jax.shard_map(
+        local,
+        mesh=op.mesh,
+        in_specs=(P("nodes"), P("nodes"), P("nodes", None)),
+        out_specs=P(None, "nodes", None),
+        axis_names=set(op.mesh.axis_names),
+        check_vma=False,
+    )(op.band, op.base, x)
+
+
+def _adjoint_chain_sharded(op, g: jax.Array) -> jax.Array:
+    """Adjoint of the K-term basis chain in ONE shard_map region.
+
+    Given cotangents ``g`` [K, Mp, C] of the stacked basis, the reverse
+    of the three-term recurrence is itself a three-term recurrence run
+    backward (L symmetric):
+
+        s_{K-1} = g_{K-1}
+        s_{K-2} = g_{K-2} + 2 L s_{K-1}
+        s_k     = g_k + 2 L s_{k+1} - s_{k+2}        (K-3 >= k >= 1)
+        dx = s_0 = g_0 + L s_1 - s_2
+
+    Every ``2 L s - s_prev`` is the same fused hop (+ the g_k add), so
+    the adjoint costs exactly one forward chain plus one plain SpMM —
+    all inside a single dispatch."""
+    K = g.shape[0]
+
+    def local(band, base, g_local):
+        band, base = band[0], base[0]
+
+        def hop(x1, x0):
+            return _shard_hop(op, band, base, x1, x0, None)
+
+        def spmm(v):
+            return _shard_hop(op, band, base, v, None, None)
+
+        if K == 1:
+            return g_local[0]
+        if K == 2:
+            return g_local[0] + spmm(g_local[1])
+        # s_{K-2} = g_{K-2} + 2 L s_{K-1} (hop against a zero x0).
+        s_next = g_local[K - 2] + hop(
+            g_local[K - 1], jnp.zeros_like(g_local[K - 1])
+        )
+        s_next2 = g_local[K - 1]
+        for k in range(K - 3, 0, -1):
+            s_next, s_next2 = g_local[k] + hop(s_next, s_next2), s_next
+        return g_local[0] + spmm(s_next) - s_next2
+
+    return jax.shard_map(
+        local,
+        mesh=op.mesh,
+        in_specs=(P("nodes"), P("nodes"), P(None, "nodes", None)),
+        out_specs=P("nodes", None),
+        axis_names=set(op.mesh.axis_names),
+        check_vma=False,
+    )(op.band, op.base, g)
 
 
 @jax.custom_vjp
@@ -290,6 +392,24 @@ def _bhh_bwd(op, g):
 _banded_halo_hop.defvjp(_bhh_fwd, _bhh_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _banded_halo_chain(op, x, K):
+    return _chain_sharded(op, x, K)
+
+
+def _bhc_fwd(op, x, K):
+    # The recurrence is linear in x: the adjoint needs no forward values,
+    # only the operator.
+    return _chain_sharded(op, x, K), op
+
+
+def _bhc_bwd(K, op, g):
+    return zero_cotangent(op), _adjoint_chain_sharded(op, g)
+
+
+_banded_halo_chain.defvjp(_bhc_fwd, _bhc_bwd)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["band", "base"],
@@ -300,7 +420,7 @@ _banded_halo_hop.defvjp(_bhh_fwd, _bhh_bwd)
                  "headroom"],
 )
 @dataclasses.dataclass(frozen=True)
-class QuantBandedHaloLaplacian:
+class QuantBandedHaloLaplacian(QuantOpMixin):
     """Int8-quantized row-sharded banded Laplacian — MULTI-CHIP serving.
 
     Same exchange plan and band geometry as :class:`BandedHaloLaplacian`
@@ -340,21 +460,8 @@ class QuantBandedHaloLaplacian:
     headroom: float = 2.0
 
     @property
-    def compute_dtype(self):
-        return self.band.dtype
-
-    @property
     def band_width(self):
         return self.band.shape[2]
-
-    def quantize(self, x: jax.Array, scale=None) -> jax.Array:
-        s = self.act_scale if scale is None else scale
-        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-
-    def dequantize(self, q: jax.Array, dtype=jnp.float32,
-                   scale=None) -> jax.Array:
-        s = self.act_scale if scale is None else scale
-        return (q.astype(jnp.float32) * s).astype(dtype)
 
     def spmm_q(self, x_q: jax.Array) -> jax.Array:
         """``quantize(L @ dequantize(x_q))``, one int8 pass per shard."""
@@ -364,9 +471,11 @@ class QuantBandedHaloLaplacian:
         """Quantized fused recurrence hop ``2 (L @ x1) - x0``."""
         return _apply_sharded(self, x1_q, x0_q, band_scale=self.band_scale)
 
-    def matmul(self, x: jax.Array) -> jax.Array:
-        """Float view for drop-in parity checks."""
-        return self.dequantize(self.spmm_q(self.quantize(x)), x.dtype)
+    def cheby_chain_q(self, x_q: jax.Array, K: int) -> jax.Array:
+        """Stacked int8 K-term basis, all hops in ONE shard_map region
+        (int8 carries over the ICI ring; one dispatch per chain).
+        Bit-exact with the per-hop quantized path."""
+        return _chain_sharded(self, x_q, K, band_scale=self.band_scale)
 
 
 def quantize_banded_halo(op: BandedHaloLaplacian, headroom: float = 2.0,

@@ -167,6 +167,116 @@ class TestBandedHalo:
         assert losses[-1] < losses[0] * 0.5, losses
 
 
+class TestChebyChain:
+    """The whole K-hop recurrence under ONE shard_map region
+    (cheby_chain): bit-exact with the per-hop path, differentiable via
+    the adjoint-recurrence VJP, and dispatched by ops.cheby_basis."""
+
+    def test_chain_bitexact_vs_per_hop(self, setup):
+        _L, mesh, op, _ref = setup
+        rng = np.random.default_rng(20)
+        K = 7
+        x = jnp.asarray(rng.normal(size=(op.m_padded, 32)), jnp.float32)
+
+        def per_hop(o, v):
+            b = [v, o.matmul(v)]
+            for _ in range(2, K):
+                b.append(o.cheby_hop(b[-1], b[-2]))
+            return jnp.stack(b)
+
+        with mesh:
+            got = np.asarray(jax.jit(
+                lambda o, v: o.cheby_chain(v, K))(op, x))
+            want = np.asarray(jax.jit(per_hop)(op, x))
+        np.testing.assert_array_equal(got, want)
+
+    def test_chain_grad_matches_per_hop_autodiff(self, setup):
+        _L, mesh, op, _ref = setup
+        rng = np.random.default_rng(21)
+        K = 6
+        x = jnp.asarray(rng.normal(size=(op.m_padded, 16)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(K, op.m_padded, 16)), jnp.float32)
+
+        def loss_chain(v):
+            return jnp.sum(op.cheby_chain(v, K) * t)
+
+        def loss_hops(v):
+            b = [v, op.matmul(v)]
+            for _ in range(2, K):
+                b.append(op.cheby_hop(b[-1], b[-2]))
+            return jnp.sum(jnp.stack(b) * t)
+
+        with mesh:
+            g_chain = np.asarray(jax.jit(jax.grad(loss_chain))(x))
+            g_hops = np.asarray(jax.jit(jax.grad(loss_hops))(x))
+        np.testing.assert_allclose(g_chain, g_hops, atol=2e-4, rtol=1e-5)
+
+    @pytest.mark.parametrize("K", [1, 2, 3])
+    def test_chain_small_K_edge_cases(self, setup, K):
+        _L, mesh, op, _ref = setup
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.normal(size=(op.m_padded, 8)), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(K, op.m_padded, 8)), jnp.float32)
+
+        def per_hop(v):
+            b = [v]
+            if K > 1:
+                b.append(op.matmul(v))
+            for _ in range(2, K):
+                b.append(op.cheby_hop(b[-1], b[-2]))
+            return jnp.stack(b)
+
+        with mesh:
+            got = np.asarray(jax.jit(
+                lambda v: op.cheby_chain(v, K))(x))
+            want = np.asarray(jax.jit(per_hop)(x))
+            g1 = np.asarray(jax.jit(jax.grad(
+                lambda v: jnp.sum(op.cheby_chain(v, K) * t)))(x))
+            g2 = np.asarray(jax.jit(jax.grad(
+                lambda v: jnp.sum(per_hop(v) * t)))(x))
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_allclose(g1, g2, atol=2e-4, rtol=1e-5)
+
+    def test_cheby_basis_dispatches_chain(self, setup):
+        """ops.cheby_basis must produce identical values through the
+        one-region chain as the dense single-chip reference."""
+        from cnn_graph_tpu.ops import cheby_basis
+
+        _L, mesh, op, ref = setup
+        rng = np.random.default_rng(23)
+        K = 5
+        x = np.zeros((1, op.m, 3), np.float32)
+        x[0, : op.m] = rng.normal(size=(op.m, 3))
+        with mesh:
+            got = np.asarray(jax.jit(
+                lambda o, v: cheby_basis(v, o, K))(op, jnp.asarray(x)))
+        want = np.asarray(jax.jit(
+            lambda o, v: cheby_basis(v, o, K))(ref, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_quant_chain_bitexact_vs_per_hop(self, setup):
+        from cnn_graph_tpu.parallel import quantize_banded_halo
+
+        _L, mesh, op, _ref = setup
+        qop = quantize_banded_halo(op, sample_x=3.0)
+        rng = np.random.default_rng(24)
+        K = 6
+        xq = jnp.asarray(
+            rng.integers(-100, 100, (op.m_padded, 16)).astype(np.int8))
+
+        def per_hop(o, v):
+            b = [v, o.spmm_q(v)]
+            for _ in range(2, K):
+                b.append(o.cheby_hop_q(b[-1], b[-2]))
+            return jnp.stack(b)
+
+        with mesh:
+            got = np.asarray(jax.jit(
+                lambda o, v: o.cheby_chain_q(v, K))(qop, xq))
+            want = np.asarray(jax.jit(per_hop)(qop, xq))
+        np.testing.assert_array_equal(got, want)
+
+
 class TestQuantBandedHalo:
     """Int8 multi-chip serving: the quantized sharded operator
     (parallel.banded_halo.QuantBandedHaloLaplacian; DESIGN.md §13).

@@ -96,6 +96,25 @@ class TestChebNet:
         assert logits.shape == (4, 3)
         assert bool(jnp.all(jnp.isfinite(logits)))
 
+    def test_lanczos_filter_forward_and_grad(self, usage_data, usage_ops):
+        """filter='lanczos' resolves the reference's last named filter
+        string (lib/models.py:40); weights tap a per-signal Krylov basis
+        like Chebyshev taps."""
+        splits, _, _ = usage_data
+        ops, _ = usage_ops
+        model = ChebNet(ops, F=[4], K=[5], p=[2], M=[3], filter="lanczos")
+        params = model.init(jax.random.PRNGKey(6))
+        assert params["gconv"][0]["w"].shape == (5, 1, 4)
+        x = jnp.asarray(splits["train_data"][:4])
+        logits = jax.jit(model.apply)(params, x)
+        assert logits.shape == (4, 3)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+        y = jnp.asarray(splits["train_labels"][:4])
+        g = jax.grad(model.loss)(params, x, y)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
 
 class TestBsplineBasis:
     def test_partition_of_unity(self):

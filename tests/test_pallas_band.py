@@ -457,3 +457,162 @@ class TestRaggedBand:
         got_c = np.asarray(jax.jit(cheby_conv)(x, qop, w))
         rel = np.linalg.norm(got_c - want_c) / np.linalg.norm(want_c)
         assert rel < 0.12, rel
+
+
+class TestAdjointChainConv:
+    """cheby_conv_banded: the streaming banded conv whose backward runs
+    the fused three-term ADJOINT recurrence (band_cheby_hop_c, one
+    kernel pass per hop) instead of autodiff's un-fused SpMM + two
+    elementwise passes.  VERDICT round-3 next-step #2."""
+
+    @pytest.fixture(scope="class")
+    def ops_pair(self, banded_graph):
+        rop = device_laplacian(banded_graph, fmt="banded",
+                               use_pallas=False)
+        uop = device_laplacian(banded_graph, fmt="banded", ragged=False,
+                               use_pallas=False)
+        dref = device_laplacian(banded_graph, fmt="dense")
+        return rop, uop, dref
+
+    def test_hop_c_interpret_matches_math(self, ops_pair):
+        from cnn_graph_tpu.ops.pallas_band import band_cheby_hop_c
+
+        rop, uop, _ = ops_pair
+        rng = np.random.default_rng(30)
+        C = 192
+        x1 = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+        x0 = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+        c = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+        for op in (rop, uop):
+            import dataclasses
+
+            pal = dataclasses.replace(op, use_pallas=True)
+            got = np.asarray(band_cheby_hop_c(pal, x1, x0, c,
+                                              interpret=True))
+            want = np.asarray(2.0 * op.matmul(x1) - x0 + c)
+            np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_forward_matches_dense_reference(self, ops_pair):
+        from cnn_graph_tpu.ops import cheby_conv
+
+        rop, _uop, dref = ops_pair
+        rng = np.random.default_rng(31)
+        B, Fin, Fout, K = 3, 4, 5, 7
+        x = jnp.asarray(rng.normal(size=(B, rop.m, Fin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(K, Fin, Fout)) * 0.2, jnp.float32)
+        got = np.asarray(jax.jit(cheby_conv)(x, rop, w))
+        want = np.asarray(jax.jit(cheby_conv)(
+            jnp.asarray(np.asarray(x)[:, : dref.m]), dref, w))
+        np.testing.assert_allclose(got, want[:, : rop.m], atol=2e-3)
+
+    @pytest.mark.parametrize("K", [1, 2, 3, 7])
+    def test_grads_match_autodiff_through_hops(self, ops_pair, K):
+        """dx and dW from the fused adjoint chain vs plain autodiff
+        through the per-hop path (the old cheby_basis + einsum route)."""
+        from cnn_graph_tpu.ops.filters import cheby_basis, cheby_conv_banded
+
+        rop, _uop, _ = ops_pair
+        rng = np.random.default_rng(32)
+        B, Fin, Fout = 2, 4, 3
+        x = jnp.asarray(rng.normal(size=(B, rop.m, Fin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(K, Fin, Fout)) * 0.3, jnp.float32)
+        t = jnp.asarray(rng.normal(size=(B, rop.m, Fout)), jnp.float32)
+
+        def loss_stream(x, w):
+            return jnp.sum(cheby_conv_banded(x, rop, w) * t)
+
+        def loss_generic(x, w):
+            basis = cheby_basis(x, rop, K)
+            y = jnp.einsum("kbmf,kfo->bmo", basis, w)
+            return jnp.sum(y * t)
+
+        gx1, gw1 = jax.jit(jax.grad(loss_stream, argnums=(0, 1)))(x, w)
+        gx2, gw2 = jax.jit(jax.grad(loss_generic, argnums=(0, 1)))(x, w)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   atol=2e-3, rtol=1e-4)
+
+    def test_node_classifier_trains_through_streaming_conv(self,
+                                                          banded_graph):
+        """End to end: a NodeClassifier on a banded operator still
+        learns (loss drops) through the new conv + adjoint backward."""
+        import optax
+
+        from cnn_graph_tpu.models import NodeClassifier
+
+        op = device_laplacian(banded_graph, fmt="banded",
+                              use_pallas=False)
+        rng = np.random.default_rng(33)
+        model = NodeClassifier(op, input_features=4, num_classes=3,
+                               hidden=[8], K=4)
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.normal(size=(op.m_padded, 4)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 3, op.m_padded), jnp.int32)
+        mask = jnp.ones((op.m_padded,), bool)
+        opt = optax.adam(1e-2)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            l, g = jax.value_and_grad(model.loss)(params, x, y, mask)
+            up, state = opt.update(g, state, params)
+            return optax.apply_updates(params, up), state, l
+
+        losses = []
+        for _ in range(12):
+            params, state, l = step(params, state)
+            losses.append(float(l))
+        assert losses[-1] < losses[0], losses
+
+
+class TestPrefetchAhead:
+    """The PREFETCH_AHEAD parameterization (probe mode 'pa'): deeper
+    band-slab pipelines must be value-identical — only the DMA schedule
+    changes."""
+
+    @pytest.mark.parametrize("pa", [2, 3])
+    def test_deeper_pipeline_matches_default(self, banded_graph, pa):
+        import dataclasses
+
+        from cnn_graph_tpu.ops.pallas_band import (
+            banded_call_ragged, ring_span,
+        )
+
+        rop = device_laplacian(banded_graph, fmt="banded",
+                               use_pallas=False)
+        rng = np.random.default_rng(40)
+        C = 128
+        x = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+        x0 = jnp.asarray(rng.normal(size=(rop.m_padded, C)), jnp.float32)
+
+        base = np.asarray(rop.base, np.int64)
+        hw = np.asarray(rop.sched[2], np.int64)
+        nsb = len(hw)
+        G = rop.rows_per_step
+        started = hw[np.minimum(np.arange(nsb) + pa, nsb - 1)]
+        ring = int((started - base[np.arange(nsb) * G]).max()) + 1
+        sched = jnp.asarray(np.asarray(rop.sched, np.int32))
+
+        got = np.asarray(banded_call_ragged(
+            rop.band, rop.base, sched, x, x0, levels=rop.levels,
+            ring=ring, G=G, out_rows=rop.m_padded, interpret=True,
+            prefetch_ahead=pa))
+        want = np.asarray(2.0 * rop.matmul(x) - x0)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_uniform_kernel_pa2(self, banded_graph):
+        from cnn_graph_tpu.ops.pallas_band import banded_call, ring_span
+
+        uop = device_laplacian(banded_graph, fmt="banded", ragged=False,
+                               use_pallas=False)
+        rng = np.random.default_rng(41)
+        C = 128
+        x = jnp.asarray(rng.normal(size=(uop.m_padded, C)), jnp.float32)
+        ring = ring_span(np.asarray(uop.base), uop.band.shape[1],
+                         uop.rows_per_step, pa=2)
+        got = np.asarray(banded_call(
+            uop.band, uop.base, x, ring=ring, G=uop.rows_per_step,
+            out_rows=uop.m_padded, interpret=True, prefetch_ahead=2))
+        want = np.asarray(uop.matmul(x))
+        np.testing.assert_allclose(got, want, atol=1e-4)
