@@ -13,6 +13,12 @@ see experiments/_compile_probe.py and the verify skill).
   python experiments/_probe.py mxu  [iters]   # Pallas in-kernel tap shapes
   python experiments/_probe.py pred [iters]   # per-tap lax.cond predication
   python experiments/_probe.py bsr  [side]    # chunked vs per-block BSR DMA
+  python experiments/_probe.py band [side]    # ragged/uniform x G sweep
+  python experiments/_probe.py pa   [side] [pa...]  # PREFETCH_AHEAD sweep
+  python experiments/_probe.py trace [side] [dir]   # jax.profiler per-op table
+  python experiments/_probe.py serve [side] [dir]   # 50k serving artifact timing
+  python experiments/_probe.py serveload [dir]      # fresh-process artifact load
+  python experiments/_probe.py scatter [K]    # 20NEWS-like scattered graph
 
 Findings these modes produced (recorded in DESIGN.md §11): measured
 device peaks bf16 114 TF/s / f32 47 / int8 153 TOP/s (vs 197 TF
@@ -360,8 +366,328 @@ def main_band(argv):
               f"{op.nnz/dt/1e9:.4f} Gedges/s", flush=True)
 
 
+def main_pa(argv):
+    """PREFETCH_AHEAD sweep on the int8 ragged K=25 chain (VERDICT
+    round-3 next-step #1): a deeper band-slab pipeline (pa super-steps of
+    DMA lookahead, pa+1 slab buffers in VMEM) can only help if the kernel
+    is stalling on band DMA waits — DESIGN.md §11's probes say DMAs are
+    hidden, so parity here localizes the ~70us gap to the in-kernel tap
+    rate/epilogue instead.  Rings are re-sized host-side for each pa from
+    the schedule's column high-water row."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.ops import device_laplacian, quantize_banded
+    from cnn_graph_tpu.ops.pallas_band import banded_call_ragged
+
+    side = int(argv[0]) if argv else 224
+    pas = [int(a) for a in argv[1:]] or [1, 2, 3]
+    K, C, outer = 25, 512, 4
+    L, _ = city_graph(side, k=8, seed=0)
+    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16)
+    qop = quantize_banded(op, sample_x=3.0)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.float32)
+
+    base = np.asarray(qop.base, np.int64)
+    hw = np.asarray(qop.sched[2], np.int64)
+    nsb = len(hw)
+    G = qop.rows_per_step
+    sched = jnp.asarray(np.asarray(qop.sched, np.int32))
+
+    for pa in pas:
+        started = hw[np.minimum(np.arange(nsb) + pa, nsb - 1)]
+        ring = int((started - base[np.arange(nsb) * G]).max()) + 1
+
+        @jax.jit
+        def chain_q(qop, x, pa=pa, ring=ring):
+            def hop(x1, x0):
+                return banded_call_ragged(
+                    qop.band, qop.base, sched, x1, x0,
+                    levels=qop.levels, ring=ring, G=G,
+                    out_rows=qop.m_padded, band_scale=qop.band_scale,
+                    prefetch_ahead=pa,
+                )
+
+            xq = qop.quantize(x)
+
+            def body(_, carry):
+                def step(_, c):
+                    p, q = c
+                    return q, hop(q, p)
+
+                return jax.lax.fori_loop(0, K - 1, step, carry)
+
+            out = jax.lax.fori_loop(
+                0, outer, body,
+                (xq, banded_call_ragged(
+                    qop.band, qop.base, sched, xq, levels=qop.levels,
+                    ring=ring, G=G, out_rows=qop.m_padded,
+                    band_scale=qop.band_scale, prefetch_ahead=pa))
+            )[1]
+            return jnp.mean(qop.dequantize(out) ** 2)
+
+        s, dt = _timed_scalar(chain_q, qop, X)
+        assert np.isfinite(s)
+        dt /= outer * (K - 1)
+        print(f"pa={pa} ring={ring:3d} {dt*1e6:7.1f} us/spmm "
+              f"{op.nnz/dt/1e9:.4f} Gedges/s", flush=True)
+
+
+def main_trace(argv):
+    """Capture a jax.profiler trace of the int8 K=25 chain and print the
+    per-op duration table parsed from the trace proto — the trace-backed
+    attribution VERDICT round-3 asked for (utils.profiling.trace was
+    built in round 1 but never used in a recorded analysis)."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.ops import device_laplacian, quantize_banded
+    from cnn_graph_tpu.utils.profiling import trace
+
+    side = int(argv[0]) if argv else 224
+    K, C, outer = 25, 512, 2
+    L, _ = city_graph(side, k=8, seed=0)
+    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16)
+    qop = quantize_banded(op, sample_x=3.0)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.float32)
+
+    @jax.jit
+    def chain_q(qop, x):
+        xq = qop.quantize(x)
+
+        def body(_, carry):
+            def hop(_, c):
+                p, q = c
+                return q, qop.cheby_hop_q(q, p)
+
+            return jax.lax.fori_loop(0, K - 1, hop, carry)
+
+        out = jax.lax.fori_loop(0, outer, body, (xq, qop.spmm_q(xq)))[1]
+        return jnp.mean(qop.dequantize(out) ** 2)
+
+    # Warm (compile + device program load), then trace one steady call.
+    print("warm:", float(jax.device_get(chain_q(qop, X))), flush=True)
+    log_dir = argv[1] if len(argv) > 1 else "/tmp/cnn_graph_trace"
+    with trace(log_dir):
+        s = float(jax.device_get(chain_q(qop, X)))
+    print("traced call scalar:", s, flush=True)
+
+    # Parse the chrome-trace events (trace.json.gz) and aggregate device
+    # op durations by name.
+    paths = sorted(glob.glob(
+        os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True
+    ), key=os.path.getmtime)
+    if not paths:
+        print("NO TRACE FILES under", log_dir)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    durs = {}
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "/device" not in pname.lower():
+            continue
+        key = (pname.split(" ")[0], e.get("name", "?"))
+        d = durs.setdefault(key, [0.0, 0])
+        d[0] += e.get("dur", 0.0)
+        d[1] += 1
+    total = sum(v[0] for v in durs.values())
+    print(f"\ndevice rows: {len(durs)} ops, {total/1e3:.2f} ms total")
+    for (pname, name), (dur, cnt) in sorted(
+        durs.items(), key=lambda kv: -kv[1][0]
+    )[:14]:
+        print(f"{dur/1e3:9.3f} ms  x{cnt:4d}  {name[:80]}")
+    print("\ntrace dir:", log_dir, "->", paths[-1])
+
+
+def _serve_model(side):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.models import NodeClassifier
+    from cnn_graph_tpu.ops import device_laplacian
+
+    K, C, n_classes = 25, 512, 16
+    L, _ = city_graph(side, k=8, seed=0)
+    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16)
+    model = NodeClassifier(op, input_features=C, num_classes=n_classes,
+                           hidden=[], K=K)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.float32)
+    return model, params, x, op
+
+
+def _time_calls(fn, x, iters=5):
+    import jax
+    import numpy as np
+
+    y = np.asarray(jax.device_get(fn(x)))  # load + warm
+    assert np.all(np.isfinite(y))
+    t0 = time.time()
+    for _ in range(iters):
+        y = jax.device_get(fn(x))
+    return (time.time() - t0) / iters
+
+
+def main_serve(argv):
+    """Serving latency at the HEADLINE scale (VERDICT round-3 next-step
+    #9): export the 50k int8 NodeClassifier artifact, time the
+    in-process AOT handle, then time the loaded artifact — run
+    ``serveload`` in a FRESH process afterwards for the no-model-code
+    number (one TPU process at a time on this tunnel)."""
+    import jax
+
+    from cnn_graph_tpu import serve
+
+    side = int(argv[0]) if argv else 224
+    path = argv[1] if len(argv) > 1 else "/tmp/serve50k_artifact"
+    model, params, x, op = _serve_model(side)
+    print(f"model: {op.m} nodes, K=25 C=512 int8 banded", flush=True)
+
+    t0 = time.time()
+    cs = serve.compile_serving(model, params, x)
+    print(f"compile_serving: {time.time()-t0:.1f}s", flush=True)
+    dt = _time_calls(cs, x)
+    print(f"in-process AOT handle: {dt*1e3:.1f} ms/call "
+          f"(steady-state, through the tunnel)", flush=True)
+
+    t0 = time.time()
+    serve.export_serving(model, params, x, path)
+    print(f"export_serving: {time.time()-t0:.1f}s -> {path}", flush=True)
+
+    t0 = time.time()
+    ls = serve.load_serving(path)
+    load_s = time.time() - t0
+    t0 = time.time()
+    dt1 = _time_calls(ls, x, iters=1)  # includes the re-jit trace
+    dt2 = _time_calls(ls, x)
+    print(f"same-process load: {load_s:.1f}s; first-call "
+          f"{dt1*1e3:.1f} ms (re-jit + program load), steady "
+          f"{dt2*1e3:.1f} ms/call", flush=True)
+
+
+def main_serveload(argv):
+    """Fresh-process load of a main_serve artifact: the cross-process
+    serving number (no model code, cold jit of exp.call)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cnn_graph_tpu import serve
+
+    path = argv[0] if argv else "/tmp/serve50k_artifact"
+    t0 = time.time()
+    ls = serve.load_serving(path)
+    print(f"load_serving: {time.time()-t0:.1f}s", flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=tuple(ls.meta["input_shape"])),
+                    jnp.dtype(ls.meta["input_dtype"]))
+    t0 = time.time()
+    dt1 = _time_calls(ls, x, iters=1)
+    dt2 = _time_calls(ls, x)
+    print(f"fresh-process first-call {dt1*1e3:.1f} ms (cold jit of the "
+          f"deserialized module + device program load), steady "
+          f"{dt2*1e3:.1f} ms/call", flush=True)
+
+
+def main_scatter(argv):
+    """Reference-realistic SCATTERED graph (VERDICT round-3 next-step
+    #3): the 20NEWS GC32 topology — a 10k-word embedding kNN graph
+    (lib/utils.py:127-150 embed -> knn; 20news.ipynb cell 22) — built
+    from synthetic_text_dataset, RCM'd, and measured on-chip in every
+    applicable format.  Host analysis first: band_stats W and what
+    fmt='auto' picks; then the K-hop chain through BSR, dense, and (if
+    it ever fits) banded.  Key host finding this mode records: at 128-
+    tile granularity a 10k-node scattered kNN graph is ~half block-DENSE
+    (measured 3359 of 6241 blocks occupied, W=60 after RCM), so the
+    banded format is impossible and dense is a real contender."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.text import synthetic_text_dataset
+    from cnn_graph_tpu.graphs import construction as gc
+    from cnn_graph_tpu.ops import device_laplacian
+    from cnn_graph_tpu.ops.laplacian import band_stats
+
+    K = int(argv[0]) if argv else 5  # GC32 uses K=5; pass 25 for stress
+    C, outer = 512, 4
+
+    ds = synthetic_text_dataset(n_docs=4000, vocab_size=12000, seed=0)
+    ds.clean_text()
+    ds.vectorize()
+    ds.remove_short_documents(nwords=5)
+    ds.keep_top_words(10000, Mprint=0)
+    ds.embed(size=64, seed=0)
+    dist, idx = gc.knn(ds.embeddings.astype(np.float32), k=16,
+                       algorithm="auto")
+    W = gc.adjacency(dist, idx)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm].tocsr()
+    L = gc.laplacian(W, normalized=True)
+    base, Wb, nblocks, mp = band_stats(L)
+    n_rb = len(base)
+    print(f"graph: {L.shape[0]} words, {L.nnz} nnz; RCM band W={Wb} "
+          f"blocks (cap 32), occupied {nblocks}/{n_rb * n_rb} "
+          f"({nblocks / n_rb**2:.2f} block-dense)", flush=True)
+
+    auto = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
+    print(f"fmt='auto' picks: {type(auto).__name__}", flush=True)
+
+    rng = np.random.default_rng(0)
+
+    def chain(op, x):
+        def body(_, carry):
+            x0, x1 = carry
+
+            def hop(_, c):
+                a, b = c
+                return b, op.cheby_hop(b, a)
+
+            a, b = jax.lax.fori_loop(0, K - 1, hop, (x0, x1))
+            s = jax.lax.rsqrt(jnp.mean(a.astype(jnp.float32) ** 2) + 1e-6)
+            return (a * s).astype(x.dtype), b
+
+        out = jax.lax.fori_loop(0, outer, body, (x, op.matmul(x)))[1]
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    jchain = jax.jit(chain)
+    for name, op in (("bsr", device_laplacian(L, fmt="bsr",
+                                              dtype=jnp.bfloat16)),
+                     ("dense", device_laplacian(L, fmt="dense",
+                                                dtype=jnp.bfloat16))):
+        X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
+        s, dt = _timed_scalar(jchain, op, X)
+        assert np.isfinite(s)
+        dt /= outer * (K - 1)
+        print(f"{name:6s} {dt*1e6:8.1f} us/spmm "
+              f"{op.nnz/dt/1e9:.4f} Gedges/s  ({type(op).__name__})",
+              flush=True)
+
+
 MODES = {"peak": main_peak, "mxu": main_mxu, "pred": main_pred,
-         "bsr": main_bsr, "band": main_band}
+         "bsr": main_bsr, "band": main_band, "pa": main_pa,
+         "trace": main_trace, "serve": main_serve,
+         "serveload": main_serveload, "scatter": main_scatter}
 
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in MODES:

@@ -141,6 +141,112 @@ def main_wrapper(argv):
           f"({(dt_qh/dt_qp-1)*100:+.1f}%)")
 
 
+def _chain_region(op, x, K=25, outer=4):
+    """Time the ONE-shard_map-region recurrence (op.cheby_chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(op, x):
+        def body(_, v):
+            s = op.cheby_chain(v, K)
+            last = s[K - 1]
+            scale = jax.lax.rsqrt(
+                jnp.mean(last.astype(jnp.float32) ** 2) + 1e-6
+            )
+            return (last * scale).astype(v.dtype)
+
+        out = jax.lax.fori_loop(0, outer, body, x)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    import numpy as np
+
+    s = float(jax.device_get(run(op, x)))
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    jax.device_get(run(op, x))
+    return (time.perf_counter() - t0) / (outer * (K - 1))
+
+
+def _chain_region_q(qop, x, K=25, outer=4):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(qop, x):
+        xq = qop.quantize(x.astype(jnp.float32))
+
+        def body(_, v):
+            return qop.cheby_chain_q(v, K)[K - 1]
+
+        out = jax.lax.fori_loop(0, outer, body, xq)
+        return jnp.mean(qop.dequantize(out) ** 2)
+
+    import numpy as np
+
+    s = float(jax.device_get(run(qop, x)))
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    jax.device_get(run(qop, x))
+    return (time.perf_counter() - t0) / (outer * (K - 1))
+
+
+def main_chain(argv):
+    """Per-CHAIN dispatch amortization (VERDICT round-3 next-step #8):
+    the strong-scaling projection died on a per-SpMM 78 us wrapper bound;
+    ``cheby_chain`` runs all K-1 hops inside ONE shard_map region, so the
+    dispatch cost is paid once per chain.  nodes=1 on the real chip
+    bounds the residual per-chain overhead with zero communication."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.ops import device_laplacian, quantize_banded
+    from cnn_graph_tpu.parallel import (
+        banded_halo_laplacian,
+        make_mesh,
+        quantize_banded_halo,
+    )
+
+    side = int(argv[0]) if argv else 224
+    C = 512
+    L, _ = city_graph(side, k=8, seed=0)
+    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16,
+                          ragged=False)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
+
+    mesh = make_mesh(data=1, nodes=1)
+    hop = banded_halo_laplacian(L, mesh, dtype=jnp.bfloat16)
+
+    dt_p = _chain(op, X)
+    with mesh:
+        dt_h = _chain(hop, X)          # per-hop shard_map regions
+        dt_c = _chain_region(hop, X)   # ONE region per chain
+    print(f"bf16 plain kernel   {dt_p*1e6:7.1f} us/spmm", flush=True)
+    print(f"bf16 per-hop halo   {dt_h*1e6:7.1f} us/spmm "
+          f"(overhead {(dt_h-dt_p)*1e6:+.1f} us/spmm)")
+    print(f"bf16 one-region     {dt_c*1e6:7.1f} us/spmm "
+          f"(overhead {(dt_c-dt_p)*1e6:+.1f} us/spmm, "
+          f"{(dt_c-dt_p)*24e6:+.1f} us/chain)", flush=True)
+
+    sample = float(np.max(np.abs(np.asarray(jax.device_get(X),
+                                            np.float32))))
+    qp = quantize_banded(op, sample_x=sample)
+    dt_qp = _chain_q(qp, X)
+    with mesh:
+        qh = quantize_banded_halo(hop, sample_x=sample)
+        dt_qh = _chain_q(qh, X)
+        dt_qc = _chain_region_q(qh, X)
+    print(f"int8 plain kernel   {dt_qp*1e6:7.1f} us/spmm", flush=True)
+    print(f"int8 per-hop halo   {dt_qh*1e6:7.1f} us/spmm "
+          f"(overhead {(dt_qh-dt_qp)*1e6:+.1f} us/spmm)")
+    print(f"int8 one-region     {dt_qc*1e6:7.1f} us/spmm "
+          f"(overhead {(dt_qc-dt_qp)*1e6:+.1f} us/spmm, "
+          f"{(dt_qc-dt_qp)*24e6:+.1f} us/chain)", flush=True)
+
+
 def main_comm(argv):
     """Exchanged bytes vs graph cut per shard count, CPU mesh."""
     import jax
@@ -187,7 +293,8 @@ def main_comm(argv):
               f"{interior*100:>8.1f}%")
 
 
-MODES = {"wrapper": main_wrapper, "comm": main_comm}
+MODES = {"wrapper": main_wrapper, "chain": main_chain,
+         "comm": main_comm}
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] in ("-h", "--help"):

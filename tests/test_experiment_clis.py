@@ -73,3 +73,21 @@ def test_mnist_cli_real_data_path_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-800:]
     assert "test" in proc.stdout, proc.stdout[-500:]
+
+
+def test_mnist_cli_mesh_data_parallel():
+    """--mesh-data N drives the mesh-aware Trainer end to end on the
+    virtual CPU mesh (synthetic digits; SURVEY §2.3 batch DP)."""
+    proc = subprocess.run(
+        [sys.executable, "experiments/mnist.py",
+         "--n-train", "128", "--epochs", "1", "--batch-size", "32",
+         "--K", "3", "--mesh-data", "8"],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).parent.parent,
+        env={"PATH": "/usr/bin:/bin", "CNN_GRAPH_CPU": "1",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "data-parallel training over mesh" in proc.stdout
+    assert "test" in proc.stdout, proc.stdout[-500:]
