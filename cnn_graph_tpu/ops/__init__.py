@@ -12,6 +12,7 @@ from cnn_graph_tpu.ops.laplacian import (
     BandedLaplacian,
     BCOOLaplacian,
     BlockSparseLaplacian,
+    cheby_finals,
     DenseLaplacian,
     device_laplacian,
     pack_banded,
@@ -32,6 +33,7 @@ __all__ = [
     "BandedLaplacian",
     "BCOOLaplacian",
     "BlockSparseLaplacian",
+    "cheby_finals",
     "DenseLaplacian",
     "device_laplacian",
     "pack_banded",

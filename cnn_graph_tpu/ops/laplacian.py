@@ -45,6 +45,7 @@ __all__ = [
     "BandedLaplacian",
     "QuantBandedLaplacian",
     "quantize_banded",
+    "cheby_finals",
     "BCOOLaplacian",
     "device_laplacian",
     "pack_block_sparse",
@@ -78,7 +79,12 @@ class ChebyHopMixin:
     a fused kernel override it (BandedLaplacian).  Shared by the sharded
     operators in cnn_graph_tpu/parallel as well."""
 
-    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array, *,
+                  donate: bool = False) -> jax.Array:
+        # ``donate`` is accepted (and ignored) everywhere so chain
+        # drivers can request in-place hops uniformly; only the banded
+        # Pallas paths act on it.
+        del donate
         return (2.0 * self.matmul(x1) - x0).astype(x1.dtype)
 
 
@@ -288,11 +294,12 @@ class BandedLaplacian(ChebyHopMixin):
     def compute_dtype(self):
         return self.band.dtype
 
-    def cheby_hop(self, x1: jax.Array, x0: jax.Array) -> jax.Array:
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array, *,
+                  donate: bool = False) -> jax.Array:
         if self.use_pallas:
             from cnn_graph_tpu.ops.pallas_band import band_cheby_hop
 
-            return band_cheby_hop(self, x1, x0)
+            return band_cheby_hop(self, x1, x0, donate=donate)
         return super().cheby_hop(x1, x0)
 
     def matmul(self, x: jax.Array) -> jax.Array:
@@ -394,7 +401,8 @@ class QuantBandedLaplacian(QuantOpMixin):
     def band_width(self):
         return self.levels[-1] if self.levels else self.band.shape[1]
 
-    def _call(self, x_q: jax.Array, x0_q: jax.Array | None) -> jax.Array:
+    def _call(self, x_q: jax.Array, x0_q: jax.Array | None,
+              donate: bool = False) -> jax.Array:
         if self.use_pallas:
             from cnn_graph_tpu.ops.pallas_band import (
                 banded_call, banded_call_ragged,
@@ -406,12 +414,12 @@ class QuantBandedLaplacian(QuantOpMixin):
                     jnp.asarray(np.asarray(self.sched, np.int32)),
                     x_q, x0_q, levels=self.levels, ring=self.ring_slots,
                     G=self.rows_per_step, out_rows=self.m_padded,
-                    band_scale=self.band_scale,
+                    band_scale=self.band_scale, donate_x0=donate,
                 )
             return banded_call(
                 self.band, self.base, x_q, x0_q, ring=self.ring_slots,
                 G=self.rows_per_step, out_rows=self.m_padded,
-                band_scale=self.band_scale,
+                band_scale=self.band_scale, donate_x0=donate,
             )
         # XLA fallback mirrors the kernel's integer arithmetic exactly:
         # int32 window taps, dequant + round at emission.
@@ -440,9 +448,64 @@ class QuantBandedLaplacian(QuantOpMixin):
         """``quantize(L @ dequantize(x_q))`` in one int8 kernel pass."""
         return self._call(x_q, None)
 
-    def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array) -> jax.Array:
-        """Quantized fused recurrence hop ``2 (L @ x1) - x0``."""
-        return self._call(x1_q, x0_q)
+    def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array, *,
+                    donate: bool = False) -> jax.Array:
+        """Quantized fused recurrence hop ``2 (L @ x1) - x0``.
+
+        ``donate`` writes the result in place over ``x0``'s buffer
+        (kernel-level ``input_output_aliases``) — chain drivers use it
+        so while-loop carries stay in fixed buffers (see
+        ``cheby_finals``)."""
+        return self._call(x1_q, x0_q, donate=donate)
+
+
+def cheby_finals(L, x: jax.Array, K: int) -> jax.Array:
+    """Run the K-1-product Chebyshev recurrence and return ``T_{K-1} x``.
+
+    The chain driver behind the throughput benchmarks (bench.py,
+    experiments/_probe.py) and any power-iteration-style use that needs
+    only the final carry.  Two hops per loop iteration with DONATED
+    (in-place) kernel outputs, so each while-loop carry stays in a fixed
+    buffer:
+
+        body(p, q):  r = hop(q, p)   # writes into p's buffer
+                     s = hop(r, q)   # writes into q's buffer
+                     return (r, s)   # same buffer slots as (p, q)
+
+    A naive ``return q, hop(q, p)`` body permutes the carry buffers, and
+    XLA's while-loop lowering restores the fixed-slot invariant with a
+    full-activation copy per carry per hop — measured 2 x 39 us/hop at
+    50k nodes / C=512, ~28%% of the chain (DESIGN.md §16, trace-backed).
+
+    Dispatches on the operator protocol: quantized operators
+    (``cheby_hop_q``) take/return int8 carries (pass ``x`` already
+    quantized); everything else runs in the operator's compute dtype.
+    """
+    quant = hasattr(L, "cheby_hop_q")
+    f = L.cheby_hop_q if quant else L.cheby_hop
+    try:
+        import inspect
+
+        donate_ok = "donate" in inspect.signature(f).parameters
+    except (TypeError, ValueError):  # pragma: no cover - builtins only
+        donate_ok = False
+    hop = (lambda a, b: f(a, b, donate=True)) if donate_ok else f
+
+    if K <= 1:
+        return x
+    p, q = x, (L.spmm_q(x) if quant else L.matmul(x))
+    n = K - 2  # hops remaining after the first product
+
+    def body(_, carry):
+        pp, qq = carry
+        r = hop(qq, pp)
+        s = hop(r, qq)
+        return r, s
+
+    p, q = jax.lax.fori_loop(0, n // 2, body, (p, q))
+    if n % 2:
+        q = hop(q, p)
+    return q
 
 
 def quantize_banded(op: BandedLaplacian, headroom: float = 2.0,

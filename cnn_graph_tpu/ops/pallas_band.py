@@ -315,7 +315,8 @@ def banded_call_ragged(band, base, sched, x, x0=None, c=None, *, levels,
                        ring, G, out_rows, col_tile: int = 512,
                        interpret: bool = False,
                        band_scale: float | None = None,
-                       prefetch_ahead: int | None = None):
+                       prefetch_ahead: int | None = None,
+                       donate_x0: bool = False):
     """Ragged banded SpMM / fused-hop kernel call.
 
     ``band``: flat ``[total_blocks, br, bc]``; ``sched``: int32 ``[3,
@@ -323,6 +324,11 @@ def banded_call_ragged(band, base, sched, x, x0=None, c=None, *, levels,
     ``_kernel_ragged``); ``levels``: static ascending tuple of the
     distinct per-super-step widths.  ``c`` (requires ``x0``) is the
     adjoint-chain injection: ``y = 2 (L @ x) - x0 + c`` in one pass.
+    ``donate_x0`` aliases ``x0``'s buffer as the output (the hop writes
+    block (s, j) only after reading x0's block (s, j), so in-place is
+    safe) — chain drivers use it so XLA's while-loop carries stay in
+    fixed buffers instead of paying a full-activation rotation copy per
+    hop (measured 2 x 39 us per hop at 50k/C=512; DESIGN.md §16).
     Everything else matches ``banded_call``.
     """
     total, br, bc = band.shape
@@ -374,6 +380,8 @@ def banded_call_ragged(band, base, sched, x, x0=None, c=None, *, levels,
     operands = (base, sched, band, x) + ((x0,) if hop else ()) + (
         (c,) if has_c else ()
     )
+    # Operand index of x0 counts the scalar-prefetch args (base, sched).
+    aliases = {4: 0} if (donate_x0 and hop) else {}
     y = pl.pallas_call(
         functools.partial(_kernel_ragged, levels=tuple(levels), br=br,
                           bc=bc, tc=tc, R=R, G=G, hop=hop, has_c=has_c,
@@ -381,6 +389,7 @@ def banded_call_ragged(band, base, sched, x, x0=None, c=None, *, levels,
         out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * total * br * bc * cp,
             bytes_accessed=(
@@ -415,7 +424,7 @@ def _band_bwd(col_tile, interpret, L, g):
     return zero_cotangent(L), _band_spmm_impl(L, g, col_tile, interpret)
 
 
-def _band_call(L, x, x0, col_tile, interpret, c=None):
+def _band_call(L, x, x0, col_tile, interpret, c=None, donate=False):
     if getattr(L, "levels", ()):
         import numpy as np
 
@@ -423,11 +432,12 @@ def _band_call(L, x, x0, col_tile, interpret, c=None):
             L.band, L.base, jnp.asarray(np.asarray(L.sched, np.int32)),
             x, x0, c, levels=L.levels, ring=L.ring_slots,
             G=L.rows_per_step, out_rows=L.m_padded, col_tile=col_tile,
-            interpret=interpret,
+            interpret=interpret, donate_x0=donate,
         )
     return banded_call(L.band, L.base, x, x0, c, ring=L.ring_slots,
                        G=L.rows_per_step, out_rows=L.m_padded,
-                       col_tile=col_tile, interpret=interpret)
+                       col_tile=col_tile, interpret=interpret,
+                       donate_x0=donate)
 
 
 def band_cheby_hop_c(L, x1: jax.Array, x0: jax.Array, c: jax.Array,
@@ -449,7 +459,8 @@ def band_cheby_hop_c(L, x1: jax.Array, x0: jax.Array, c: jax.Array,
 def banded_call(band, base, x, x0=None, c=None, *, ring, G, out_rows,
                 col_tile: int = 512, interpret: bool = False,
                 band_scale: float | None = None,
-                prefetch_ahead: int | None = None):
+                prefetch_ahead: int | None = None,
+                donate_x0: bool = False):
     """Raw banded SpMM / fused-hop kernel call on explicit fields.
 
     ``x`` may have MORE rows than ``out_rows`` (extended-column use: the
@@ -515,6 +526,10 @@ def banded_call(band, base, x, x0=None, c=None, *, ring, G, out_rows,
     operands = (base, band, x) + ((x0,) if hop else ()) + (
         (c,) if has_c else ()
     )
+    # Operand index of x0 counts the scalar-prefetch arg (base).  The hop
+    # writes block (s, j) only after reading x0's block (s, j), so the
+    # in-place alias is safe; see banded_call_ragged for why chains use it.
+    aliases = {3: 0} if (donate_x0 and hop) else {}
     y = pl.pallas_call(
         functools.partial(_kernel, W=W, br=br, bc=bc, tc=tc, R=R, G=G,
                           hop=hop, has_c=has_c, band_scale=band_scale,
@@ -522,6 +537,7 @@ def banded_call(band, base, x, x0=None, c=None, *, ring, G, out_rows,
         out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * nbr * W * br * bc * cp,
             bytes_accessed=(
@@ -542,24 +558,29 @@ def _band_spmm_impl(L, x: jax.Array, col_tile: int = 512,
 band_spmm.defvjp(_band_fwd, _band_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def band_cheby_hop(L, x1: jax.Array, x0: jax.Array, col_tile: int = 512,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   donate: bool = False) -> jax.Array:
     """Fused Chebyshev recurrence hop ``y = 2 (L @ x1) - x0``.
 
     One kernel pass instead of SpMM + XLA elementwise: at 50k nodes /
     C=512 the separate update costs three extra full-activation HBM
     transfers per hop.  Symmetric-adjoint VJP: ``dx1 = 2 L g``,
-    ``dx0 = -g``.
+    ``dx0 = -g``.  ``donate`` aliases ``x0``'s buffer as the output
+    (safe: the kernel reads each x0 block before writing it); XLA keeps
+    a defensive copy if x0 has other uses, so it only helps — chain
+    drivers (``ops.cheby_finals``) use it to keep while-loop carries in
+    fixed buffers.
     """
-    return _band_call(L, x1, x0, col_tile, interpret)
+    return _band_call(L, x1, x0, col_tile, interpret, donate=donate)
 
 
-def _hop_fwd(L, x1, x0, col_tile, interpret):
-    return _band_call(L, x1, x0, col_tile, interpret), L
+def _hop_fwd(L, x1, x0, col_tile, interpret, donate):
+    return _band_call(L, x1, x0, col_tile, interpret, donate=donate), L
 
 
-def _hop_bwd(col_tile, interpret, L, g):
+def _hop_bwd(col_tile, interpret, donate, L, g):
     from cnn_graph_tpu.ops.laplacian import zero_cotangent
 
     dx1 = 2.0 * _band_spmm_impl(L, g, col_tile, interpret)

@@ -12,7 +12,44 @@ import time
 
 import jax
 
-__all__ = ["StepTimer", "trace", "spmm_roofline"]
+__all__ = ["StepTimer", "trace", "spmm_roofline", "slope_time"]
+
+
+def slope_time(make_fn, args=(), units=(2, 16), reps: int = 3):
+    """Fixed-overhead-free device timing by slope fit.
+
+    On the tunneled TPU platform a dispatched program pays a large fixed
+    host round-trip (MEASURED 25.6 ms/call via this method — DESIGN.md
+    §16), so wall-clocking one call of an N-unit chain overstates the
+    per-unit time by overhead/N.  ``slope_time`` times the SAME program
+    at two chain lengths and differences them, cancelling every
+    per-call constant exactly:
+
+        per_unit = (wall(u1) - wall(u0)) / (u1 - u0)
+
+    ``make_fn(u)`` must return a jitted callable whose device work
+    scales linearly in ``u`` and which returns a SCALAR (fetched via
+    ``jax.device_get`` — ``block_until_ready`` alone can return before
+    the remote execution finishes on this platform).  Each length is
+    compiled+warmed once and timed ``reps`` times (min taken).  Returns
+    ``(per_unit_seconds, fixed_overhead_seconds)``.
+    """
+    import numpy as np
+
+    walls = []
+    for u in units:
+        fn = make_fn(u)
+        s = jax.device_get(fn(*args))  # compile + warm (device load)
+        assert np.all(np.isfinite(s)), s
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        walls.append(best)
+    per_unit = (walls[-1] - walls[0]) / (units[-1] - units[0])
+    fixed = walls[0] - units[0] * per_unit
+    return per_unit, fixed
 
 
 class StepTimer:

@@ -566,6 +566,94 @@ class TestAdjointChainConv:
         assert losses[-1] < losses[0], losses
 
 
+class TestChebyFinals:
+    """cheby_finals: the donated double-hop chain driver (final-carry
+    recurrence behind the throughput benches) against the NumPy oracle,
+    and the in-place (input_output_aliases) kernel path in interpret
+    mode."""
+
+    @pytest.mark.parametrize("K", [1, 2, 5, 6])
+    def test_matches_oracle_float(self, banded_graph, K):
+        from cnn_graph_tpu.graphs.construction import chebyshev_basis
+        from cnn_graph_tpu.ops import cheby_finals
+
+        op = device_laplacian(banded_graph, fmt="banded",
+                              use_pallas=False)
+        rng = np.random.default_rng(21)
+        x = np.zeros((op.m_padded, 16), np.float32)
+        x[: op.m] = rng.normal(size=(op.m, 16))
+        got = np.asarray(jax.jit(
+            lambda o, v: cheby_finals(o, v, K))(op, jnp.asarray(x)))
+        Lr = gc.rescale_laplacian(banded_graph, 2.0)
+        want = chebyshev_basis(Lr, x[: op.m], K)[K - 1]
+        np.testing.assert_allclose(got[: op.m], want, atol=2e-3)
+
+    @pytest.mark.parametrize("K", [4, 5])
+    def test_quant_path_matches_unrolled(self, banded_graph, K):
+        from cnn_graph_tpu.ops import cheby_finals, quantize_banded
+
+        op = device_laplacian(banded_graph, fmt="banded",
+                              use_pallas=False)
+        rng = np.random.default_rng(22)
+        x = np.zeros((op.m_padded, 16), np.float32)
+        x[: op.m] = rng.normal(size=(op.m, 16))
+        qop = quantize_banded(op, sample_x=float(np.max(np.abs(x))))
+        xq = jax.jit(lambda o, v: o.quantize(v))(qop, jnp.asarray(x))
+
+        got = np.asarray(jax.jit(
+            lambda o, v: cheby_finals(o, v, K))(qop, xq))
+
+        @jax.jit
+        def unrolled(qop, xq):
+            basis = [xq, qop.spmm_q(xq)]
+            for _ in range(2, K):
+                basis.append(qop.cheby_hop_q(basis[-1], basis[-2]))
+            return basis[K - 1]
+
+        want = np.asarray(unrolled(qop, xq))
+        np.testing.assert_array_equal(got, want)  # same int arithmetic
+
+    def test_donated_kernel_matches_undonated(self, banded_graph):
+        from cnn_graph_tpu.ops.pallas_band import banded_call
+
+        op = device_laplacian(banded_graph, fmt="banded", ragged=False,
+                              use_pallas=False)
+        rng = np.random.default_rng(23)
+        C = 128
+        x = rng.normal(size=(op.m_padded, C)).astype(np.float32)
+        x0 = rng.normal(size=(op.m_padded, C)).astype(np.float32)
+        kw = dict(ring=op.ring_slots, G=op.rows_per_step,
+                  out_rows=op.m_padded, interpret=True)
+        want = np.asarray(banded_call(
+            op.band, op.base, jnp.asarray(x), jnp.asarray(x0), **kw))
+        got = np.asarray(banded_call(
+            op.band, op.base, jnp.asarray(x), jnp.asarray(x0),
+            donate_x0=True, **kw))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_donated_ragged_kernel_matches(self, banded_graph):
+        from cnn_graph_tpu.ops.pallas_band import banded_call_ragged
+
+        op = device_laplacian(banded_graph, fmt="banded",
+                              use_pallas=False)
+        assert op.levels, "fixture should pack ragged by default"
+        rng = np.random.default_rng(24)
+        C = 128
+        x = rng.normal(size=(op.m_padded, C)).astype(np.float32)
+        x0 = rng.normal(size=(op.m_padded, C)).astype(np.float32)
+        sched = jnp.asarray(np.asarray(op.sched, np.int32))
+        kw = dict(levels=op.levels, ring=op.ring_slots,
+                  G=op.rows_per_step, out_rows=op.m_padded,
+                  interpret=True)
+        want = np.asarray(banded_call_ragged(
+            op.band, op.base, sched, jnp.asarray(x), jnp.asarray(x0),
+            **kw))
+        got = np.asarray(banded_call_ragged(
+            op.band, op.base, sched, jnp.asarray(x), jnp.asarray(x0),
+            donate_x0=True, **kw))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 class TestPrefetchAhead:
     """The PREFETCH_AHEAD parameterization (probe mode 'pa'): deeper
     band-slab pipelines must be value-identical — only the DMA schedule
