@@ -43,41 +43,44 @@ def _best_spmm_rate(ops_by_fmt, x0, w, iters=200):
     import jax
     import jax.numpy as jnp
 
+    from cnn_graph_tpu.ops import cheby_conv
+    from cnn_graph_tpu.utils.profiling import slope_time
+
     K = w.shape[0]
     results = {}
     for fmt, op in ops_by_fmt.items():
-        from cnn_graph_tpu.ops import cheby_conv
-
         # The operator and weights are jit ARGUMENTS: closure-captured
         # arrays become literals embedded in the serialized HLO, which
         # inflates (remote) compile time with graph size (DESIGN.md §9).
         # Scalar output + device_get: block_until_ready can return before
-        # the tunneled execution completes.
-        @jax.jit
-        def chain(op, w, x):
-            def body(_, x):
-                y = cheby_conv(x, op, w)
-                # Cheap renorm keeps the carry finite without breaking the
-                # data dependency chain.
-                return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+        # the tunneled execution completes.  Slope fit over two chain
+        # lengths cancels the fixed host dispatch (DESIGN.md §16).
+        def make_chain(u):
+            @jax.jit
+            def chain(op, w, x):
+                def body(_, x):
+                    y = cheby_conv(x, op, w)
+                    # Cheap renorm keeps the carry finite without breaking
+                    # the data dependency chain.
+                    return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
 
-            out = jax.lax.fori_loop(0, iters, body, x)
-            return jnp.mean(out * out)
+                out = jax.lax.fori_loop(0, u, body, x)
+                return jnp.mean(out * out)
 
-        jax.device_get(chain(op, w, x0))  # compile + warm
-        t0 = time.perf_counter()
-        jax.device_get(chain(op, w, x0))
-        dt = time.perf_counter() - t0
-        hops = (K - 1) * iters
+            return chain
+
+        dt, _fixed = slope_time(make_chain, (op, w, x0),
+                                units=(iters // 4, iters))
         results[fmt] = {
-            "edges_per_s": op.nnz * hops / dt,
-            "ms_per_conv": dt / iters * 1000,
+            "edges_per_s": op.nnz * (K - 1) / dt,
+            "ms_per_conv": dt * 1000,
         }
     return results
 
 
 def _train_step_time(model, params, x, y, iters=100):
     import jax
+    import jax.numpy as jnp
     import optax
 
     from cnn_graph_tpu.models import common as mcommon
@@ -86,37 +89,36 @@ def _train_step_time(model, params, x, y, iters=100):
     opt_state = opt.init(params)
     gtree = mcommon.graph_arrays(model)  # jit argument, not closure
 
-    @jax.jit
-    def run(gtree, params, opt_state, rng):
-        m = mcommon.with_graph_arrays(model, gtree)
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-        def body(carry, _):
-            params, opt_state, rng = carry
-            rng, k = jax.random.split(rng)
-            loss, grads = jax.value_and_grad(m.loss)(
-                params, x, y, train=True, rng=k
+    def make_run(u):
+        @jax.jit
+        def run(gtree, params, opt_state, rng):
+            m = mcommon.with_graph_arrays(model, gtree)
+
+            def body(carry, _):
+                params, opt_state, rng = carry
+                rng, k = jax.random.split(rng)
+                loss, grads = jax.value_and_grad(m.loss)(
+                    params, x, y, train=True, rng=k
+                )
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                body, (params, opt_state, rng), None, length=u
             )
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, rng), loss
+            return jnp.mean(losses)
 
-        (params, opt_state, rng), losses = jax.lax.scan(
-            body, (params, opt_state, rng), None, length=iters
-        )
-        return params, opt_state, losses
-
-    def run_timed(params, opt_state, rng):
-        return run(gtree, params, opt_state, rng)
+        return run
 
     rng = jax.random.PRNGKey(0)
-    out = run_timed(params, opt_state, rng)
-    jax.device_get(out[2])  # compile + warm (fetch forces completion)
-    t0 = time.perf_counter()
-    out = run_timed(params, opt_state, rng)
-    losses = jax.device_get(out[2])
-    dt = time.perf_counter() - t0
-    assert bool(np.isfinite(np.asarray(losses).mean())), "non-finite loss"
-    return dt / iters
+    # Slope fit over two scan lengths cancels the fixed host dispatch
+    # (DESIGN.md §16); finiteness asserted inside slope_time.
+    dt, _fixed = slope_time(make_run, (gtree, params, opt_state, rng),
+                            units=(iters // 4, iters))
+    return dt
 
 
 def _serving_section(L, positions, op, qop, K=25, C=512, steps=120,
@@ -199,18 +201,23 @@ def _serving_section(L, positions, op, qop, K=25, C=512, steps=120,
     acc_f = float(jax.device_get(acc(op, params, features, y, emask)))
     acc_q = float(jax.device_get(acc(qop, params, features, y, emask)))
 
-    @jax.jit
-    def infer_chain(operator, params, features):
-        mm = make_model(operator)
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-        def body(carry, _):
-            logits = mm.apply(params, carry)
-            # data dependency so XLA cannot CSE the repeats
-            carry = carry * (1.0 + 1e-6 * jnp.tanh(jnp.mean(logits)))
-            return carry, ()
+    def make_infer(u):
+        @jax.jit
+        def infer_chain(operator, params, features):
+            mm = make_model(operator)
 
-        out, _ = jax.lax.scan(body, features, None, length=iters)
-        return jnp.mean(out ** 2)
+            def body(carry, _):
+                logits = mm.apply(params, carry)
+                # data dependency so XLA cannot CSE the repeats
+                carry = carry * (1.0 + 1e-6 * jnp.tanh(jnp.mean(logits)))
+                return carry, ()
+
+            out, _ = jax.lax.scan(body, features, None, length=u)
+            return jnp.mean(out ** 2)
+
+        return infer_chain
 
     n_spmm = K - 1
     out = {"model": f"NodeClassifier K={K} Fin={C} classes={n_classes}",
@@ -220,12 +227,13 @@ def _serving_section(L, positions, op, qop, K=25, C=512, steps=120,
            "test_acc_int8": round(acc_q, 4),
            "acc_delta_int8": round(acc_q - acc_f, 4)}
     for name, o in (("f32", op), ("int8", qop)):
-        s = float(jax.device_get(infer_chain(o, params, features)))
-        assert np.isfinite(s)
-        t0 = time.perf_counter()
-        jax.device_get(infer_chain(o, params, features))
-        dt = (time.perf_counter() - t0) / iters
+        # Slope fit over two scan lengths: per-call model latency free of
+        # the fixed host dispatch (~25.6 ms tunnel round-trip, reported
+        # separately; DESIGN.md §16).
+        dt, fixed = slope_time(make_infer, (o, params, features),
+                               units=(2, iters))
         out[f"inference_ms_{name}"] = round(dt * 1000, 2)
+        out[f"dispatch_ms_{name}"] = round(fixed * 1000, 2)
         out[f"model_edges_per_s_{name}"] = round(
             op.nnz * n_spmm / dt / 1e9, 4
         )
@@ -258,32 +266,39 @@ def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8):
     y = jnp.asarray(rng.integers(0, n_classes, m), jnp.int32)
     mask = jnp.ones((m,), bool)
 
-    @jax.jit
-    def steps(op, params, state, feats, y, mask):
-        mm = NodeClassifier(op, input_features=C, num_classes=n_classes,
-                            hidden=[], K=K)
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-        def body(carry, _):
-            params, state = carry
-            loss, g = jax.value_and_grad(mm.loss)(params, feats, y, mask)
-            up, state = opt.update(g, state, params)
-            return (optax.apply_updates(params, up), state), loss
+    def make_steps(u):
+        @jax.jit
+        def steps(op, params, state, feats, y, mask):
+            mm = NodeClassifier(op, input_features=C,
+                                num_classes=n_classes, hidden=[], K=K)
 
-        (params, state), losses = jax.lax.scan(
-            body, (params, state), None, length=iters
-        )
-        return params, state, losses
+            def body(carry, _):
+                params, state = carry
+                loss, g = jax.value_and_grad(mm.loss)(
+                    params, feats, y, mask
+                )
+                up, state = opt.update(g, state, params)
+                return (optax.apply_updates(params, up), state), loss
 
-    out = steps(op, params, state, feats, y, mask)
-    losses = np.asarray(jax.device_get(out[2]))  # compile + warm
-    assert np.all(np.isfinite(losses)), losses
-    t0 = time.perf_counter()
-    jax.device_get(steps(op, params, state, feats, y, mask)[2])
-    dt = (time.perf_counter() - t0) / iters
+            (params, state), losses = jax.lax.scan(
+                body, (params, state), None, length=u
+            )
+            return jnp.mean(losses)
+
+        return steps
+
+    # Slope fit over two scan lengths cancels the fixed host dispatch
+    # (~25.6 ms on this tunnel; DESIGN.md §16).
+    dt, fixed = slope_time(make_steps,
+                           (op, params, state, feats, y, mask),
+                           units=(4, 4 * iters))
     n_spmm = 2 * (K - 1)  # forward chain + adjoint chain
     return {
         "model": f"NodeClassifier K={K} Fin={C} classes={n_classes}",
         "ms_per_step": round(dt * 1000, 2),
+        "fixed_dispatch_ms": round(fixed * 1e3, 2),
         "train_edges_per_s": round(op.nnz * n_spmm / dt / 1e9, 4),
         "spmm_equivalents_per_step": n_spmm,
     }
@@ -305,7 +320,7 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
 
     from cnn_graph_tpu.data.synthetic import city_graph
     from cnn_graph_tpu.ops import device_laplacian, quantize_banded
-    from cnn_graph_tpu.utils.profiling import spmm_roofline
+    from cnn_graph_tpu.utils.profiling import slope_time, spmm_roofline
 
     rng = np.random.default_rng(0)
     L, positions = city_graph(side, k=8, seed=0)
@@ -318,64 +333,64 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
     # The chain returns a SCALAR: on the tunneled platform
     # block_until_ready alone can return before the remote execution
     # finishes, so completion is observed via the device_get fetch.
-    @jax.jit
-    def chain(op, x):
-        def body(_, carry):
-            x0, x1 = carry
+    #
+    # Chains run through ops.cheby_finals (two DONATED hops per loop
+    # iteration — in-place kernel outputs keep the while-loop carries in
+    # fixed buffers; DESIGN.md §16) and are timed by SLOPE FIT over two
+    # chain lengths, which cancels the fixed per-dispatch host round-trip
+    # (measured ~25.6 ms on this tunnel — folded into every per-SpMM
+    # number when a single call is wall-clocked; DESIGN.md §16).
+    from cnn_graph_tpu.ops import cheby_finals
 
-            def hop(_, c):
-                a, b = c
-                # cheby_hop fuses the recurrence update into the banded
-                # kernel (one pass instead of SpMM + XLA elementwise).
-                return b, op.cheby_hop(b, a)
+    def make_chain(u):
+        @jax.jit
+        def chain(op, x):
+            def body(_, carry):
+                y = cheby_finals(op, carry, K)
+                scale = jax.lax.rsqrt(
+                    jnp.mean(y.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (y * scale).astype(x.dtype)
 
-            a, b = jax.lax.fori_loop(0, K - 1, hop, (x0, x1))
-            scale = jax.lax.rsqrt(
-                jnp.mean(a.astype(jnp.float32) ** 2) + 1e-6
-            )
-            return (a * scale).astype(x.dtype), b
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
 
-        out = jax.lax.fori_loop(0, outer, body, (x, op.matmul(x)))[1]
-        return jnp.mean(out.astype(jnp.float32) ** 2)
+        return chain
 
-    def timed(fn, *args):
-        probe = float(jax.device_get(fn(*args)))  # compile + warm
-        assert np.isfinite(probe), "non-finite chain output"
-        t0 = time.perf_counter()
-        jax.device_get(fn(*args))
-        return (time.perf_counter() - t0) / (outer * (K - 1))
-
-    def report(o, dt, dtype):
+    def report(o, dt, fixed, dtype):
         return {
             "us_per_spmm": round(dt * 1e6, 1),
             "edges_per_s": round(o.nnz / dt / 1e9, 4),
             "format": type(o).__name__,
             "dtype": dtype,
+            "fixed_dispatch_ms": round(fixed * 1e3, 2),
+            "timing": "slope_fit(units=2,16 K-hop blocks); fixed host "
+                      "dispatch reported separately, not per-spmm",
             "roofline": spmm_roofline(o, dt, C),
         }
 
-    dt_bf16 = timed(chain, op, X)
+    units = (2, 16)
+    per_block, fixed_bf16 = slope_time(make_chain, (op, X), units=units)
+    dt_bf16 = per_block / (K - 1)
 
     # Int8 inference chain: carries stay int8 on-device (saturating by
     # design — no renorm needed), one quantize in / dequantize out.
     qop = quantize_banded(op, sample_x=float(np.max(np.abs(
         np.asarray(jax.device_get(X), np.float32)))))
 
-    @jax.jit
-    def chain_q(qop, x):
-        xq = qop.quantize(x.astype(jnp.float32))
+    def make_chain_q(u):
+        @jax.jit
+        def chain_q(qop, x):
+            xq = qop.quantize(x.astype(jnp.float32))
+            out = jax.lax.fori_loop(
+                0, u, lambda _, q: cheby_finals(qop, q, K), xq
+            )
+            return jnp.mean(qop.dequantize(out) ** 2)
 
-        def body(_, carry):
-            def hop(_, c):
-                p, q = c
-                return q, qop.cheby_hop_q(q, p)
+        return chain_q
 
-            return jax.lax.fori_loop(0, K - 1, hop, carry)
-
-        out = jax.lax.fori_loop(0, outer, body, (xq, qop.spmm_q(xq)))[1]
-        return jnp.mean(qop.dequantize(out) ** 2)
-
-    dt_q = timed(chain_q, qop, X)
+    per_block_q, fixed_q = slope_time(make_chain_q, (qop, X), units=units)
+    dt_q = per_block_q / (K - 1)
 
     # End-to-end serving through the user-facing model path (accuracy
     # delta + model-level throughput); guarded so a compile hiccup can't
@@ -398,8 +413,8 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
         "path": best[0],
         "nodes": int(op.m),
         "nnz": int(op.nnz),
-        "bf16": report(op, dt_bf16, "bfloat16"),
-        "int8": report(qop, dt_q, "int8"),
+        "bf16": report(op, dt_bf16, fixed_bf16, "bfloat16"),
+        "int8": report(qop, dt_q, fixed_q, "int8"),
         "serving": serving,
         "training": training,
         "config": "planar 50k-node city graph, 8-NN, RCM, K=25 recurrence",

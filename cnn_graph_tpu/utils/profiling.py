@@ -88,14 +88,17 @@ def trace(log_dir: str):
 
 
 # TPU v5e single-chip peaks.  MEASURED on this device with XLA's own
-# tuned matmul chain (experiments/_probe.py peak, steady-state, chained
-# 4096^2 dots): bf16 114 TFLOP/s, f32 47 TFLOP/s, int8 153 TOP/s.  The
-# f32 figure matches the datasheet (49T); bf16 lands at 58% of the
-# datasheet's 197T — the datasheet rate is not reachable by any matmul
-# shape we probed (XLA or Pallas), so "speed of light" uses the measured
-# ceiling and the datasheet fraction is reported alongside for honesty.
+# tuned matmul chain (experiments/_probe.py peak, SLOPE-FIT over two
+# chain lengths, chained 4096^2 dots): bf16 193 TFLOP/s (98% of the
+# datasheet 197T), f32 140 TFLOP/s (3-pass bf16 emulation — well above
+# the datasheet's nominal 49T fp32 row), int8 370 TOP/s (94% of 394T).
+# The round-1 'measured peaks' (bf16 114T / int8 153T) were single-call
+# wall-clock numbers that silently folded the tunnel's fixed ~25.6 ms
+# per-dispatch host round-trip into the rate — slope-fit timing
+# (``slope_time``) cancels it and recovers the datasheet-class rates
+# (DESIGN.md §16).
 V5E_HBM_BYTES_PER_S = 819e9
-V5E_FLOPS = {"bfloat16": 114e12, "float32": 47e12, "int8": 153e12}
+V5E_FLOPS = {"bfloat16": 193e12, "float32": 140e12, "int8": 370e12}
 V5E_FLOPS_DATASHEET = {"bfloat16": 197e12, "float32": 49e12,
                        "int8": 394e12}
 

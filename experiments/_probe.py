@@ -49,47 +49,61 @@ def _timed_scalar(run, *args):
 # ---------------------------------------------------------------- peak
 
 def _peak_probe(name, size, dtype, iters, acc_dtype=None):
-    """XLA's own matmul rate: chained fori_loop of big square matmuls.
+    """XLA's own matmul rate: chained fori_loop of big square matmuls,
+    SLOPE-FIT over two chain lengths so the fixed per-dispatch host
+    round-trip (~25.6 ms on this tunnel — which silently depressed the
+    round-1 'measured peaks' by up to 42%; DESIGN.md §16) cancels.
     Whatever this reports is the honest ``flops_per_s`` for the roofline
     model (utils/profiling.py) and the "% of peak" anchor in DESIGN.md."""
     import jax
     import jax.numpy as jnp
 
+    from cnn_graph_tpu.utils.profiling import slope_time
+
     if dtype == "int8":
         a = jnp.ones((size, size), jnp.int8)
         w = jnp.ones((size, size), jnp.int8)
 
-        @jax.jit
-        def run(a, w):
-            def body(i, z):
-                # int32 accumulate; fold back to int8 with a shift so the
-                # chain stays bounded and data-dependent.
-                zz = jax.lax.dot(z, w, preferred_element_type=jnp.int32)
-                return (zz >> 12).astype(jnp.int8)
+        def make_run(u):
+            @jax.jit
+            def run(a, w):
+                def body(i, z):
+                    # int32 accumulate; fold back to int8 with a shift so
+                    # the chain stays bounded and data-dependent.
+                    zz = jax.lax.dot(z, w,
+                                     preferred_element_type=jnp.int32)
+                    return (zz >> 12).astype(jnp.int8)
 
-            out = jax.lax.fori_loop(0, iters, body, a)
-            return jnp.sum(out.astype(jnp.int32))
+                out = jax.lax.fori_loop(0, u, body, a)
+                return jnp.sum(out.astype(jnp.int32))
+
+            return run
     else:
         dt = jnp.dtype(dtype)
         acc = acc_dtype or dt
         a = jnp.ones((size, size), dt) * 0.03
         w = jnp.eye(size, dtype=dt) * 1.0003
 
-        @jax.jit
-        def run(a, w):
-            def body(i, z):
-                return jax.lax.dot(
-                    z, w, preferred_element_type=acc
-                ).astype(dt)
+        def make_run(u):
+            @jax.jit
+            def run(a, w):
+                def body(i, z):
+                    return jax.lax.dot(
+                        z, w, preferred_element_type=acc
+                    ).astype(dt)
 
-            out = jax.lax.fori_loop(0, iters, body, a)
-            return jnp.mean(out.astype(jnp.float32) ** 2)
+                out = jax.lax.fori_loop(0, u, body, a)
+                return jnp.mean(out.astype(jnp.float32) ** 2)
 
-    s, dt_s = _timed_scalar(run, a, w)
-    flops = 2 * size**3 * iters
-    print(f"{name:14s} {dt_s*1e3:8.1f} ms  {flops/dt_s/1e12:6.1f} "
-          f"T{'OP' if dtype=='int8' else 'FLOP'}/s  probe={s:.3e}",
-          flush=True)
+            return run
+
+    per_iter, fixed = slope_time(make_run, (a, w),
+                                 units=(max(iters // 4, 2), iters))
+    flops = 2 * size**3
+    print(f"{name:14s} {per_iter*1e6:8.1f} us/iter  "
+          f"{flops/per_iter/1e12:6.1f} "
+          f"T{'OP' if dtype=='int8' else 'FLOP'}/s  "
+          f"fixed={fixed*1e3:.1f} ms", flush=True)
 
 
 def main_peak(argv):
@@ -118,54 +132,74 @@ def _mxu_probe(name, m, k, n, iters, taps=1, dtype="bfloat16"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from cnn_graph_tpu.utils.profiling import slope_time
+
     int8 = dtype == "int8"
     dt = jnp.dtype(dtype)
     acc_dt = jnp.int32 if int8 else jnp.float32
 
-    def kernel(a_ref, b_ref, o_ref):
-        def body(i, carry):
-            if taps > 1:
-                # fold the carry into each RHS slab (slab rows == 128).
-                acc = jnp.zeros((m, n), acc_dt)
-                for d in range(taps):
-                    bb = b_ref[d] + carry
-                    acc += jnp.dot(a_ref[d], bb,
+    def make_kernel(u):
+        def kernel(a_ref, b_ref, o_ref):
+            def body(i, carry):
+                if taps > 1:
+                    # fold the carry into each RHS slab (slab rows==128).
+                    # Mosaic has no vector<i8> add — route int8 through
+                    # i32 (the cast cost is shared by all taps).
+                    acc = jnp.zeros((m, n), acc_dt)
+                    for d in range(taps):
+                        if int8:
+                            bb = (b_ref[d].astype(jnp.int32)
+                                  + carry.astype(jnp.int32)
+                                  ).astype(jnp.int8)
+                        else:
+                            bb = b_ref[d] + carry
+                        acc += jnp.dot(a_ref[d], bb,
+                                       preferred_element_type=acc_dt)
+                else:
+                    # deep-K: inject the dependency as one extra small
+                    # tap (its FLOPs are counted in the total below).
+                    acc = jnp.dot(a_ref[0], b_ref[0],
+                                  preferred_element_type=acc_dt)
+                    acc += jnp.dot(a_ref[0][:, :128], carry,
                                    preferred_element_type=acc_dt)
-            else:
-                # deep-K: inject the dependency as one extra small tap
-                # (its FLOPs are counted in the total below).
-                acc = jnp.dot(a_ref[0], b_ref[0],
-                              preferred_element_type=acc_dt)
-                acc += jnp.dot(a_ref[0][:, :128], carry,
-                               preferred_element_type=acc_dt)
-            if int8:
-                return (acc[:128, :] >> 12).astype(dt)
-            return (acc[:128, :] * 1e-6).astype(dt)
+                if int8:
+                    return (acc[:128, :] >> 12).astype(dt)
+                return (acc[:128, :] * 1e-6).astype(dt)
 
-        out = jax.lax.fori_loop(0, iters, body, jnp.zeros((128, n), dt))
-        o_ref[:] = out
+            out = jax.lax.fori_loop(0, u, body, jnp.zeros((128, n), dt))
+            o_ref[:] = out
+
+        return kernel
 
     a = jnp.ones((taps, m, k // taps), dt)
     b = jnp.ones((taps, k // taps, n), dt)
 
-    @jax.jit
-    def run(a, b):
-        o = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((128, n), dt),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(a, b)
-        return jnp.sum(o.astype(jnp.float32) ** 2)
+    def make_run(u):
+        kernel = make_kernel(u)
 
-    _, dt_s = _timed_scalar(run, a, b)
-    flops = 2 * m * (k + (128 if taps == 1 else 0)) * n * iters
-    tflops = flops / dt_s / 1e12
+        @jax.jit
+        def run(a, b):
+            o = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((128, n), dt),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(a, b)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        return run
+
+    # Slope fit cancels the fixed dispatch (~25.6 ms) that depressed the
+    # round-2/3 in-kernel tap-rate numbers (DESIGN.md §16).
+    per_iter, _fixed = slope_time(make_run, (a, b),
+                                  units=(max(iters // 4, 2), iters))
+    flops = 2 * m * (k + (128 if taps == 1 else 0)) * n
+    tflops = flops / per_iter / 1e12
     unit = "TOP/s " if int8 else "TFLOP/s"
-    peak = 153 if int8 else 114
-    print(f"{name:12s} {dt_s*1e3:8.2f} ms  {dt_s/iters*1e6:6.2f} us/iter "
-          f"{tflops:6.1f} {unit} ({tflops/peak*100:4.1f}% of measured "
-          f"device peak)", flush=True)
+    peak = 394 if int8 else 197
+    print(f"{name:12s} {per_iter*1e6:6.2f} us/iter "
+          f"{tflops:6.1f} {unit} ({tflops/peak*100:4.1f}% of datasheet "
+          f"peak)", flush=True)
 
 
 def main_mxu(argv):
@@ -197,56 +231,63 @@ def _pred_probe(name, widths, iters, m=128, k0=128, n=512, taps=9,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from cnn_graph_tpu.utils.profiling import slope_time
+
     dt = jnp.bfloat16
     w_arr = jnp.asarray(np.asarray(widths, np.int32))
     nw = len(widths)
 
-    def kernel(w_ref, a_ref, b_ref, o_ref):
-        def body(i, carry):
-            acc = jnp.dot(a_ref[0], carry,
-                          preferred_element_type=jnp.float32)
-            w_i = w_ref[jax.lax.rem(i, nw)]
-            for d in range(taps):
-                if cond:
-                    acc = jax.lax.cond(
-                        d < w_i,
-                        lambda a: a + jnp.dot(
-                            a_ref[d], b_ref[d],
-                            preferred_element_type=jnp.float32),
-                        lambda a: a,
-                        acc,
-                    )
-                else:
-                    acc += jnp.dot(a_ref[d], b_ref[d],
-                                   preferred_element_type=jnp.float32)
-            return (acc * 1e-6).astype(dt)
+    def make_run(u):
+        def kernel(w_ref, a_ref, b_ref, o_ref):
+            def body(i, carry):
+                acc = jnp.dot(a_ref[0], carry,
+                              preferred_element_type=jnp.float32)
+                w_i = w_ref[jax.lax.rem(i, nw)]
+                for d in range(taps):
+                    if cond:
+                        acc = jax.lax.cond(
+                            d < w_i,
+                            lambda a: a + jnp.dot(
+                                a_ref[d], b_ref[d],
+                                preferred_element_type=jnp.float32),
+                            lambda a: a,
+                            acc,
+                        )
+                    else:
+                        acc += jnp.dot(a_ref[d], b_ref[d],
+                                       preferred_element_type=jnp.float32)
+                return (acc * 1e-6).astype(dt)
 
-        out = jax.lax.fori_loop(0, iters, body, jnp.zeros((k0, n), dt))
-        o_ref[:] = out
+            out = jax.lax.fori_loop(0, u, body, jnp.zeros((k0, n), dt))
+            o_ref[:] = out
+
+        @jax.jit
+        def run(w, a, b):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+            o = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((k0, n), dt),
+                grid_spec=grid_spec,
+            )(w, a, b)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        return run
 
     a = jnp.ones((taps, m, k0), dt)
     b = jnp.ones((taps, k0, n), dt)
 
-    @jax.jit
-    def run(w, a, b):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )
-        o = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((k0, n), dt),
-            grid_spec=grid_spec,
-        )(w, a, b)
-        return jnp.sum(o.astype(jnp.float32) ** 2)
-
-    _, dt_s = _timed_scalar(run, w_arr, a, b)
+    # Slope fit: fixed dispatch out of the per-iter number (DESIGN §16).
+    per_iter, _fixed = slope_time(make_run, (w_arr, a, b),
+                                  units=(max(iters // 4, 2), iters))
     mean_w = float(np.mean(widths))
-    flops = 2 * m * k0 * n * (mean_w + 1) * iters  # +1 injection tap
-    print(f"{name:10s} {dt_s/iters*1e6:6.2f} us/iter  mean_w={mean_w:.1f}  "
-          f"{flops/dt_s/1e12:5.1f} TFLOP/s useful", flush=True)
+    flops = 2 * m * k0 * n * (mean_w + 1)  # +1 injection tap
+    print(f"{name:10s} {per_iter*1e6:6.2f} us/iter  mean_w={mean_w:.1f}  "
+          f"{flops/per_iter/1e12:5.1f} TFLOP/s useful", flush=True)
 
 
 def main_pred(argv):
@@ -284,27 +325,34 @@ def main_bsr(argv):
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
 
-    @jax.jit
-    def chain(op, x):
-        def body(_, carry):
-            x0, x1 = carry
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-            def hop(_, c):
-                a, b = c
-                return b, op.cheby_hop(b, a)
+    def make_chain(u):
+        @jax.jit
+        def chain(op, x):
+            def body(_, carry):
+                x0, x1 = carry
 
-            a, b = jax.lax.fori_loop(0, K - 1, hop, (x0, x1))
-            s = jax.lax.rsqrt(jnp.mean(a.astype(jnp.float32) ** 2) + 1e-6)
-            return (a * s).astype(x.dtype), b
+                def hop(_, c):
+                    a, b = c
+                    return b, op.cheby_hop(b, a)
 
-        out = jax.lax.fori_loop(0, outer, body, (x, op.matmul(x)))[1]
-        return jnp.mean(out.astype(jnp.float32) ** 2)
+                a, b = jax.lax.fori_loop(0, K - 1, hop, (x0, x1))
+                s = jax.lax.rsqrt(
+                    jnp.mean(a.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (a * s).astype(x.dtype), b
+
+            out = jax.lax.fori_loop(0, u, body, (x, op.matmul(x)))[1]
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return chain
 
     for name, o in (("chunked", op),
                     ("per-block", dataclasses.replace(op, row_max=0))):
-        s, dt = _timed_scalar(chain, o, X)
-        assert np.isfinite(s)
-        dt /= outer * (K - 1)
+        per_block, _f = slope_time(make_chain, (o, X),
+                                   units=(outer, 4 * outer))
+        dt = per_block / (K - 1)
         print(f"{name:10s} {dt*1e6:7.1f} us/spmm "
               f"{op.nnz/dt/1e9:.3f} Gedges/s", flush=True)
 
@@ -330,19 +378,24 @@ def main_band(argv):
     L, _ = city_graph(side, k=8, seed=0)
     rng = np.random.default_rng(0)
 
-    @jax.jit
-    def chain_q(qop, x):
-        xq = qop.quantize(x.astype(jnp.float32))
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-        def body(_, carry):
-            def hop(_, c):
-                p, q = c
-                return q, qop.cheby_hop_q(q, p)
+    def make_chain(u):
+        @jax.jit
+        def chain_q(qop, x):
+            xq = qop.quantize(x.astype(jnp.float32))
 
-            return jax.lax.fori_loop(0, K - 1, hop, carry)
+            def body(_, carry):
+                def hop(_, c):
+                    p, q = c
+                    return q, qop.cheby_hop_q(q, p)
 
-        out = jax.lax.fori_loop(0, outer, body, (xq, qop.spmm_q(xq)))[1]
-        return jnp.mean(qop.dequantize(out) ** 2)
+                return jax.lax.fori_loop(0, K - 1, hop, carry)
+
+            out = jax.lax.fori_loop(0, u, body, (xq, qop.spmm_q(xq)))[1]
+            return jnp.mean(qop.dequantize(out) ** 2)
+
+        return chain_q
 
     all_variants = {
         "ragged_G4": (True, 4), "ragged_G8": (True, 8),
@@ -356,9 +409,9 @@ def main_band(argv):
                               ragged=ragged, rows_per_step=G)
         qop = quantize_banded(op, sample_x=3.0)
         X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
-        s, dt = _timed_scalar(chain_q, qop, X)
-        assert np.isfinite(s)
-        dt /= outer * (K - 1)
+        per_block, _f = slope_time(make_chain, (qop, X),
+                                   units=(outer, 4 * outer))
+        dt = per_block / (K - 1)
         blocks = (op.band.shape[0] if op.levels
                   else op.band.shape[0] * op.band.shape[1])
         print(f"{name:11s} G={G:2d} blocks={blocks:5d} "
@@ -397,41 +450,48 @@ def main_pa(argv):
     G = qop.rows_per_step
     sched = jnp.asarray(np.asarray(qop.sched, np.int32))
 
+    from cnn_graph_tpu.utils.profiling import slope_time
+
     for pa in pas:
         started = hw[np.minimum(np.arange(nsb) + pa, nsb - 1)]
         ring = int((started - base[np.arange(nsb) * G]).max()) + 1
 
-        @jax.jit
-        def chain_q(qop, x, pa=pa, ring=ring):
-            def hop(x1, x0):
-                return banded_call_ragged(
-                    qop.band, qop.base, sched, x1, x0,
-                    levels=qop.levels, ring=ring, G=G,
-                    out_rows=qop.m_padded, band_scale=qop.band_scale,
-                    prefetch_ahead=pa,
-                )
+        def make_chain(u, pa=pa, ring=ring):
+            @jax.jit
+            def chain_q(qop, x):
+                def hop(x1, x0):
+                    return banded_call_ragged(
+                        qop.band, qop.base, sched, x1, x0,
+                        levels=qop.levels, ring=ring, G=G,
+                        out_rows=qop.m_padded, band_scale=qop.band_scale,
+                        prefetch_ahead=pa,
+                    )
 
-            xq = qop.quantize(x)
+                xq = qop.quantize(x)
 
-            def body(_, carry):
-                def step(_, c):
-                    p, q = c
-                    return q, hop(q, p)
+                def body(_, carry):
+                    def step(_, c):
+                        p, q = c
+                        return q, hop(q, p)
 
-                return jax.lax.fori_loop(0, K - 1, step, carry)
+                    return jax.lax.fori_loop(0, K - 1, step, carry)
 
-            out = jax.lax.fori_loop(
-                0, outer, body,
-                (xq, banded_call_ragged(
-                    qop.band, qop.base, sched, xq, levels=qop.levels,
-                    ring=ring, G=G, out_rows=qop.m_padded,
-                    band_scale=qop.band_scale, prefetch_ahead=pa))
-            )[1]
-            return jnp.mean(qop.dequantize(out) ** 2)
+                out = jax.lax.fori_loop(
+                    0, u, body,
+                    (xq, banded_call_ragged(
+                        qop.band, qop.base, sched, xq, levels=qop.levels,
+                        ring=ring, G=G, out_rows=qop.m_padded,
+                        band_scale=qop.band_scale, prefetch_ahead=pa))
+                )[1]
+                return jnp.mean(qop.dequantize(out) ** 2)
 
-        s, dt = _timed_scalar(chain_q, qop, X)
-        assert np.isfinite(s)
-        dt /= outer * (K - 1)
+            return chain_q
+
+        # Slope fit over two outer counts (fixed dispatch cancelled;
+        # DESIGN.md §16).
+        per_block, _fixed = slope_time(make_chain, (qop, X),
+                                       units=(outer, 4 * outer))
+        dt = per_block / (K - 1)
         print(f"pa={pa} ring={ring:3d} {dt*1e6:7.1f} us/spmm "
               f"{op.nnz/dt/1e9:.4f} Gedges/s", flush=True)
 
@@ -653,32 +713,36 @@ def main_scatter(argv):
     auto = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
     print(f"fmt='auto' picks: {type(auto).__name__}", flush=True)
 
+    from cnn_graph_tpu.ops import cheby_finals
+    from cnn_graph_tpu.utils.profiling import slope_time
+
     rng = np.random.default_rng(0)
 
-    def chain(op, x):
-        def body(_, carry):
-            x0, x1 = carry
+    def make_chain(u):
+        @jax.jit
+        def chain(op, x):
+            def body(_, carry):
+                y = cheby_finals(op, carry, K)
+                s = jax.lax.rsqrt(
+                    jnp.mean(y.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (y * s).astype(x.dtype)
 
-            def hop(_, c):
-                a, b = c
-                return b, op.cheby_hop(b, a)
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
 
-            a, b = jax.lax.fori_loop(0, K - 1, hop, (x0, x1))
-            s = jax.lax.rsqrt(jnp.mean(a.astype(jnp.float32) ** 2) + 1e-6)
-            return (a * s).astype(x.dtype), b
+        return chain
 
-        out = jax.lax.fori_loop(0, outer, body, (x, op.matmul(x)))[1]
-        return jnp.mean(out.astype(jnp.float32) ** 2)
-
-    jchain = jax.jit(chain)
     for name, op in (("bsr", device_laplacian(L, fmt="bsr",
                                               dtype=jnp.bfloat16)),
                      ("dense", device_laplacian(L, fmt="dense",
                                                 dtype=jnp.bfloat16))):
         X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
-        s, dt = _timed_scalar(jchain, op, X)
-        assert np.isfinite(s)
-        dt /= outer * (K - 1)
+        # Slope fit (fixed dispatch cancelled; DESIGN.md §16).  K=5 makes
+        # a block only 4 SpMMs, so use more outer blocks per unit.
+        per_block, _fixed = slope_time(make_chain, (op, X),
+                                       units=(outer, 8 * outer))
+        dt = per_block / (K - 1)
         print(f"{name:6s} {dt*1e6:8.1f} us/spmm "
               f"{op.nnz/dt/1e9:.4f} Gedges/s  ({type(op).__name__})",
               flush=True)

@@ -31,58 +31,64 @@ import _common  # noqa: E402,F401
 
 
 def _chain(op, x, K=25, outer=4):
+    """Per-SpMM time of the per-hop recurrence, slope-fit over two outer
+    counts so the fixed host dispatch cancels (DESIGN.md §16)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(op, x):
-        def body(_, carry):
-            x0, x1 = carry
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-            def hop(_, c):
-                a, b = c
-                return b, op.cheby_hop(b, a)
+    def make_run(u):
+        @jax.jit
+        def run(op, x):
+            def body(_, carry):
+                x0, x1 = carry
 
-            a, b = jax.lax.fori_loop(0, K - 1, hop, (x0, x1))
-            s = jax.lax.rsqrt(jnp.mean(a.astype(jnp.float32) ** 2) + 1e-6)
-            return (a * s).astype(x.dtype), b
+                def hop(_, c):
+                    a, b = c
+                    return b, op.cheby_hop(b, a)
 
-        out = jax.lax.fori_loop(0, outer, body, (x, op.matmul(x)))[1]
-        return jnp.mean(out.astype(jnp.float32) ** 2)
+                a, b = jax.lax.fori_loop(0, K - 1, hop, (x0, x1))
+                s = jax.lax.rsqrt(
+                    jnp.mean(a.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (a * s).astype(x.dtype), b
 
-    import numpy as np
+            out = jax.lax.fori_loop(0, u, body, (x, op.matmul(x)))[1]
+            return jnp.mean(out.astype(jnp.float32) ** 2)
 
-    s = float(jax.device_get(run(op, x)))
-    assert np.isfinite(s), s
-    t0 = time.perf_counter()
-    jax.device_get(run(op, x))
-    return (time.perf_counter() - t0) / (outer * (K - 1))
+        return run
+
+    per_block, _f = slope_time(make_run, (op, x), units=(outer, 4 * outer))
+    return per_block / (K - 1)
 
 
 def _chain_q(qop, x, K=25, outer=4):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    @jax.jit
-    def run(qop, x):
-        xq = qop.quantize(x.astype(jnp.float32))
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-        def body(_, carry):
-            def hop(_, c):
-                p, q = c
-                return q, qop.cheby_hop_q(q, p)
+    def make_run(u):
+        @jax.jit
+        def run(qop, x):
+            xq = qop.quantize(x.astype(jnp.float32))
 
-            return jax.lax.fori_loop(0, K - 1, hop, carry)
+            def body(_, carry):
+                def hop(_, c):
+                    p, q = c
+                    return q, qop.cheby_hop_q(q, p)
 
-        out = jax.lax.fori_loop(0, outer, body, (xq, qop.spmm_q(xq)))[1]
-        return jnp.mean(qop.dequantize(out) ** 2)
+                return jax.lax.fori_loop(0, K - 1, hop, carry)
 
-    s = float(jax.device_get(run(qop, x)))
-    assert np.isfinite(s), s
-    t0 = time.perf_counter()
-    jax.device_get(run(qop, x))
-    return (time.perf_counter() - t0) / (outer * (K - 1))
+            out = jax.lax.fori_loop(0, u, body, (xq, qop.spmm_q(xq)))[1]
+            return jnp.mean(qop.dequantize(out) ** 2)
+
+        return run
+
+    per_block, _f = slope_time(make_run, (qop, x),
+                               units=(outer, 4 * outer))
+    return per_block / (K - 1)
 
 
 def main_wrapper(argv):
@@ -142,53 +148,55 @@ def main_wrapper(argv):
 
 
 def _chain_region(op, x, K=25, outer=4):
-    """Time the ONE-shard_map-region recurrence (op.cheby_chain)."""
+    """Time the ONE-shard_map-region recurrence (op.cheby_chain),
+    slope-fit (fixed dispatch cancelled; DESIGN.md §16)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(op, x):
-        def body(_, v):
-            s = op.cheby_chain(v, K)
-            last = s[K - 1]
-            scale = jax.lax.rsqrt(
-                jnp.mean(last.astype(jnp.float32) ** 2) + 1e-6
-            )
-            return (last * scale).astype(v.dtype)
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-        out = jax.lax.fori_loop(0, outer, body, x)
-        return jnp.mean(out.astype(jnp.float32) ** 2)
+    def make_run(u):
+        @jax.jit
+        def run(op, x):
+            def body(_, v):
+                s = op.cheby_chain(v, K)
+                last = s[K - 1]
+                scale = jax.lax.rsqrt(
+                    jnp.mean(last.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (last * scale).astype(v.dtype)
 
-    import numpy as np
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
 
-    s = float(jax.device_get(run(op, x)))
-    assert np.isfinite(s)
-    t0 = time.perf_counter()
-    jax.device_get(run(op, x))
-    return (time.perf_counter() - t0) / (outer * (K - 1))
+        return run
+
+    per_block, _f = slope_time(make_run, (op, x), units=(outer, 4 * outer))
+    return per_block / (K - 1)
 
 
 def _chain_region_q(qop, x, K=25, outer=4):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(qop, x):
-        xq = qop.quantize(x.astype(jnp.float32))
+    from cnn_graph_tpu.utils.profiling import slope_time
 
-        def body(_, v):
-            return qop.cheby_chain_q(v, K)[K - 1]
+    def make_run(u):
+        @jax.jit
+        def run(qop, x):
+            xq = qop.quantize(x.astype(jnp.float32))
 
-        out = jax.lax.fori_loop(0, outer, body, xq)
-        return jnp.mean(qop.dequantize(out) ** 2)
+            def body(_, v):
+                return qop.cheby_chain_q(v, K)[K - 1]
 
-    import numpy as np
+            out = jax.lax.fori_loop(0, u, body, xq)
+            return jnp.mean(qop.dequantize(out) ** 2)
 
-    s = float(jax.device_get(run(qop, x)))
-    assert np.isfinite(s)
-    t0 = time.perf_counter()
-    jax.device_get(run(qop, x))
-    return (time.perf_counter() - t0) / (outer * (K - 1))
+        return run
+
+    per_block, _f = slope_time(make_run, (qop, x),
+                               units=(outer, 4 * outer))
+    return per_block / (K - 1)
 
 
 def main_chain(argv):
