@@ -844,11 +844,15 @@ def device_laplacian(
     chunked_rows: bool = False,
     ragged: bool = True,
     act_bytes: int | None = None,
+    dense_budget: int = 2 << 30,
 ) -> LaplacianOperator:
     """Build a device operator for the (rescaled) Laplacian.
 
     ``fmt`` is ``dense`` / ``bsr`` / ``bcoo`` / ``auto`` (dense for small
-    graphs, block-sparse beyond ``dense_threshold`` nodes).  ``block_size``
+    graphs, then banded for narrow-band graphs, then — above ~1/3 block
+    occupancy, if within ``dense_budget`` bytes — dense again, because
+    block-dense scattered graphs run faster as one full-rate matmul than
+    through BSR's per-block DMA; BSR otherwise).  ``block_size``
     is an int (square tiles), ``(rows, cols)``, or ``"auto"`` (cost-model
     choice via ``choose_block_shape`` — short-wide tiles for banded graphs,
     square for scattered ones).  ``rescale`` applies the spectral map
@@ -885,6 +889,23 @@ def device_laplacian(
                     if W <= 32 and n_rb * W <= 3 * n_blocks
                     else "bsr"
                 )
+                if fmt == "bsr":
+                    # Scattered graphs can be block-DENSE at 128 tiles:
+                    # the reference's 10k-word 20NEWS embedding-kNN graph
+                    # RCM-orders to W=60 with 54% of all blocks occupied
+                    # (lib/utils.py:127-150 topology; DESIGN.md §15).
+                    # Measured per-128-block cost at C=512 bf16 (slope-
+                    # fit, _probe.py scatter): dense ~92 ns (full-rate
+                    # XLA matmul, no sparsity bookkeeping) vs BSR
+                    # ~246 ns (fixed per-block DMA), so dense wins above
+                    # ~37% occupancy — use 1/3 with a headroom margin,
+                    # gated on the dense matrix actually fitting in a
+                    # sane HBM budget.
+                    density = n_blocks / float(n_rb * n_rb)
+                    mp8 = _round_up(m, 8)
+                    dense_bytes = mp8 * mp8 * jnp.dtype(dtype).itemsize
+                    if density >= 1 / 3 and dense_bytes <= dense_budget:
+                        fmt = "dense"
             else:
                 fmt = "bsr"
 

@@ -131,17 +131,28 @@ class TestAutoSelection:
         op = device_laplacian(banded_graph, fmt="auto", dense_threshold=512)
         assert isinstance(op, BandedLaplacian)
 
-    def test_auto_falls_back_to_bsr_when_scattered(self):
-        from cnn_graph_tpu.ops.laplacian import BlockSparseLaplacian
+    def test_auto_scattered_block_dense_picks_dense(self):
+        from cnn_graph_tpu.ops.laplacian import (
+            BlockSparseLaplacian,
+            DenseLaplacian,
+        )
 
         # A large unordered kNN graph: the block band spans nearly the
-        # whole matrix, so auto must refuse banded (W > 32 blocks).
+        # whole matrix, so auto must refuse banded (W > 32 blocks) — and
+        # because the occupied 128-blocks exceed 1/3 of all blocks, the
+        # full-rate dense matmul beats BSR's per-block DMA (measured
+        # 572 vs 828 us/spmm on the 10k-word 20NEWS graph; DESIGN.md
+        # §17), so auto picks dense when it fits the HBM budget ...
         rng = np.random.default_rng(6)
         z = rng.uniform(size=(6000, 2)).astype(np.float32)
         W = gc.knn_graph(z, k=6)
         L = gc.laplacian(W, normalized=True)
         op = device_laplacian(L, fmt="auto", dense_threshold=512)
-        assert isinstance(op, BlockSparseLaplacian)
+        assert isinstance(op, DenseLaplacian)
+        # ... and falls back to BSR when the dense matrix would not.
+        op2 = device_laplacian(L, fmt="auto", dense_threshold=512,
+                               dense_budget=1 << 20)
+        assert isinstance(op2, BlockSparseLaplacian)
 
     def test_cheby_conv_through_banded(self, banded_graph):
         from cnn_graph_tpu.ops import cheby_conv
