@@ -274,16 +274,19 @@ def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8):
             mm = NodeClassifier(op, input_features=C,
                                 num_classes=n_classes, hidden=[], K=K)
 
-            def body(carry, _):
+            def body(carry, i):
                 params, state = carry
-                loss, g = jax.value_and_grad(mm.loss)(
-                    params, feats, y, mask
-                )
+                # Step-dependent features: with a FIXED batch XLA hoists
+                # the (param-independent) Chebyshev basis chain out of
+                # the scan and the step time measures only the tap/dW
+                # einsums — real training re-pays the chain per batch.
+                f = feats * (1.0 + 1e-6 * i.astype(jnp.float32))
+                loss, g = jax.value_and_grad(mm.loss)(params, f, y, mask)
                 up, state = opt.update(g, state, params)
                 return (optax.apply_updates(params, up), state), loss
 
             (params, state), losses = jax.lax.scan(
-                body, (params, state), None, length=u
+                body, (params, state), jnp.arange(u), length=u
             )
             return jnp.mean(losses)
 
@@ -294,7 +297,11 @@ def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8):
     dt, fixed = slope_time(make_steps,
                            (op, params, state, feats, y, mask),
                            units=(4, 4 * iters))
-    n_spmm = 2 * (K - 1)  # forward chain + adjoint chain
+    # Single-conv model + input_grad=False on layer 0: the step pays the
+    # K-1-hop FORWARD chain only (the backward adjoint chain is skipped
+    # because raw features need no cotangent; dW is one contraction of
+    # the saved basis).  DESIGN.md §18.
+    n_spmm = K - 1
     return {
         "model": f"NodeClassifier K={K} Fin={C} classes={n_classes}",
         "ms_per_step": round(dt * 1000, 2),

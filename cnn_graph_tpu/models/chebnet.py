@@ -171,7 +171,10 @@ class ChebNet:
 
     def _filter(self, i, x, w):
         if self.filter == "chebyshev":
-            return cheby_conv(x, self.operators[i], w)
+            # Layer 0 convolves the RAW input signal: its cotangent is
+            # never consumed, so the banded backward skips the adjoint
+            # chain (ops/filters.py cheby_conv_banded input_grad).
+            return cheby_conv(x, self.operators[i], w, input_grad=(i > 0))
         if self.filter == "lanczos":
             return lanczos_conv(x, self.operators[i], w)
         U, Bmat = self._bases[i]

@@ -72,7 +72,11 @@ class NodeClassifier:
         x = features[None]  # [1, M, Fin]
         n = len(params["convs"])
         for i, layer in enumerate(params["convs"]):
-            h = cheby_conv(x, self.op, layer["w"]) + layer["b"]
+            # Layer 0 convolves RAW features — no input cotangent is ever
+            # consumed, so the banded backward skips its adjoint chain
+            # (~half the 50k train step; ops/filters.py).
+            h = cheby_conv(x, self.op, layer["w"],
+                           input_grad=(i > 0)) + layer["b"]
             last = i == n - 1
             if not last:
                 h = jax.nn.relu(h)

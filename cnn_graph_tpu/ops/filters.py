@@ -145,8 +145,9 @@ def cheby_basis(x: jax.Array, L: LaplacianOperator, K: int) -> jax.Array:
     return jnp.transpose(stacked, (0, 3, 1, 2))
 
 
-@jax.custom_vjp
-def cheby_conv_banded(x: jax.Array, L, w: jax.Array) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def cheby_conv_banded(x: jax.Array, L, w: jax.Array,
+                      input_grad: bool = True) -> jax.Array:
     """Chebyshev conv for BANDED operators with a fused-adjoint backward.
 
     Forward matches ``cheby_conv`` (same hops, one tap contraction) but
@@ -164,6 +165,12 @@ def cheby_conv_banded(x: jax.Array, L, w: jax.Array) -> jax.Array:
     passes per hop (the 2x-minus-x0 update and the c_k add) — the
     3-rounds-flat training-path cost this replaces (VERDICT round-3
     weak #2).  dW comes from the saved basis stack in one contraction.
+
+    ``input_grad=False`` (static) skips the adjoint recurrence entirely
+    and returns a zero ``dx``: a first-layer conv over RAW DATA never
+    needs an input cotangent, but XLA does not DCE the K-1 Pallas hop
+    calls on its own — at 50k/C=512/K=25 the skipped chain is ~7.3 ms
+    of a 15.6 ms train step (DESIGN.md §18).  Models set it on layer 0.
     """
     return _ccb_fwd_impl(x, L, w)[0]
 
@@ -174,7 +181,10 @@ def _ccb_chain(L, xt, K):
         basis.append(L.matmul(xt))
     for _ in range(2, K):
         basis.append(L.cheby_hop(basis[-1], basis[-2]))
-    return jnp.stack(basis)  # [K, Mp, B*F]
+    return basis  # K arrays [Mp, B*F] (NOT stacked: a jnp.stack here
+    # copies the whole ~K*Mp*B*F basis — ~1.3 GB, ~3 ms of pure HBM
+    # traffic at the 50k/C=512/K=25 config — for zero benefit; the tap
+    # and dW contractions stream the per-hop buffers directly)
 
 
 def _ccb_fwd_impl(x, L, w):
@@ -189,47 +199,70 @@ def _ccb_fwd_impl(x, L, w):
         jnp.transpose(x, (1, 0, 2)).reshape(M, B * F), L.m_padded
     ).astype(cdt)
     S = _ccb_chain(L, xt, K)
-    y = jnp.einsum(
-        "kmbf,kfo->bmo",
-        S[:, :M].reshape(K, M, B, F),
-        w.astype(S.dtype),
-        preferred_element_type=x.dtype,
-    ).astype(x.dtype)
-    return y, (S, x, w)
+    # Streaming taps: accumulate y += T_k x W_k per hop, each reading
+    # its basis buffer once — no stacked-basis materialization.  On TPU
+    # the dots run native bf16 x bf16 -> f32; the CPU backend (tests
+    # only) has no mixed-precision GEMM kernel, so operands are cast up.
+    tap_dt = jnp.float32 if jax.default_backend() == "cpu" else S[0].dtype
+    wc = w.astype(tap_dt)
+    y = jnp.zeros((B, M, Fout), jnp.float32)
+    for k in range(K):
+        y = y + jnp.einsum(
+            "mbf,fo->bmo", S[k][:M].reshape(M, B, F).astype(tap_dt),
+            wc[k], preferred_element_type=jnp.float32,
+        )
+    return y.astype(x.dtype), (S, x, w)
 
 
-def _ccb_fwd(x, L, w):
+def _ccb_fwd(x, L, w, input_grad):
     y, (S, x, w) = _ccb_fwd_impl(x, L, w)
     # Zero-size dtype token: residuals must be JAX types, and dx must
     # come back in x's dtype (S rides the operator's compute dtype).
     return y, (S, L, w, jnp.zeros((0,), x.dtype))
 
 
-def _ccb_bwd(res, g):
+def _ccb_bwd(input_grad, res, g):
     from cnn_graph_tpu.ops.pallas_band import band_cheby_hop_c
 
     S, L, w, x_token = res
     x_dtype = x_token.dtype
     K, Fin, Fout = w.shape
-    Kk, Mp, BF = S.shape
+    Mp, BF = S[0].shape
     B = BF // Fin
     M = g.shape[1]
     cdt = L.compute_dtype
 
-    # dW[k, f, o] = sum_{b, m} S[k, m, b, f] g[b, m, o].
-    dW = jnp.einsum(
-        "kmbf,bmo->kfo",
-        S[:, :M].reshape(K, M, B, Fin),
-        g.astype(S.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(w.dtype)
+    # dW[k, f, o] = sum_{b, m} S[k, m, b, f] g[b, m, o], streaming each
+    # per-hop basis buffer (S is a LIST — see _ccb_chain).  Same backend
+    # dtype gate as the forward taps (CPU lacks mixed-precision GEMMs).
+    tap_dt = jnp.float32 if jax.default_backend() == "cpu" else S[0].dtype
+    gc = g.astype(tap_dt)
+    dW = jnp.stack([
+        jnp.einsum("mbf,bmo->fo",
+                   S[k][:M].reshape(M, B, Fin).astype(tap_dt), gc,
+                   preferred_element_type=jnp.float32)
+        for k in range(K)
+    ]).astype(w.dtype)
+
+    if not input_grad:
+        # First-layer conv over raw data: no input cotangent is consumed
+        # — declare it and the adjoint chain below is never built (jaxpr
+        # DCE usually prunes it anyway; this makes the contract explicit
+        # and robust to effectful kernel lowerings).
+        B_, M_, _ = g.shape
+        dx = jnp.zeros((B_, M_, Fin), x_dtype)
+        return dx, zero_cotangent(L), dW
 
     # Per-hop injections c_k = g W_k^T, in the kernel layout.
-    C = jnp.einsum(
-        "bmo,kfo->kmbf", g.astype(cdt), w.astype(cdt),
-        preferred_element_type=cdt,
-    ).reshape(K, M, BF)
-    C = jnp.pad(C, ((0, 0), (0, Mp - M), (0, 0)))
+    gcd = g.astype(cdt)
+    wcd = w.astype(cdt)
+
+    def c_inj(k):
+        ck = jnp.einsum("bmo,fo->mbf", gcd, wcd[k],
+                        preferred_element_type=cdt).reshape(M, BF)
+        return jnp.pad(ck, ((0, Mp - M), (0, 0)))
+
+    C = [c_inj(k) for k in range(K)]
 
     if K == 1:
         s0 = C[0]
@@ -255,7 +288,8 @@ def _ccb_bwd(res, g):
 cheby_conv_banded.defvjp(_ccb_fwd, _ccb_bwd)
 
 
-def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array) -> jax.Array:
+def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array,
+               input_grad: bool = True) -> jax.Array:
     """Chebyshev-polynomial spectral graph convolution.
 
     ``x``: [B, M, Fin], ``w``: [K, Fin, Fout]  ->  [B, M, Fout].
@@ -263,6 +297,12 @@ def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array) -> jax.Array:
     Equivalent computation to the reference's ``cheby_conv``
     (lib/filter.py:45-95) / ``chebyshev5`` (lib/graph_conv.py:144-176):
     y = sum_k T_k(L) x W_k, with the K taps folded into one MXU matmul.
+
+    ``input_grad=False`` (static) declares that no cotangent for ``x``
+    will be consumed (a first-layer conv over raw data) — the banded
+    path then skips its backward adjoint recurrence, ~half the train
+    step at 50k (see ``cheby_conv_banded``); other formats ignore it
+    (their dx comes from XLA-differentiated matmuls that DCE cleanly).
 
     (An XLA-level "streaming" variant that accumulated per-hop taps from a
     transposed layout was measured at parity for steady-state but with a
@@ -276,7 +316,7 @@ def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array) -> jax.Array:
     if isinstance(L, BandedLaplacian):
         # Banded operators take the layout-free path with the fused
         # three-term ADJOINT recurrence backward (cheby_conv_banded).
-        return cheby_conv_banded(x, L, w)
+        return cheby_conv_banded(x, L, w, input_grad)
 
     # bf16 operators use a smaller column tile: the fused kernel's VMEM
     # working set at tile 512 exceeds the 16MB scoped limit once XLA also

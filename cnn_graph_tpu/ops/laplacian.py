@@ -583,15 +583,20 @@ def auto_rows_per_step(base, W: int, br: int, bc: int,
     """Largest G whose FULL banded-kernel VMEM footprint fits a budget:
     double-buffered band slabs (in the BAND element size) + x ring +
     Pallas's double-buffered y / x0 pipeline blocks (in the ACTIVATION
-    element size — activations can be wider than the band, e.g. fp32 x
-    over a bf16 or int8 band).  ~16MB VMEM/core on v5e; slack is left
-    for Mosaic temporaries.  Raises when even G=1 cannot fit."""
+    element size).  Activations on every banded path run in the
+    operator's COMPUTE dtype (``cheby_conv_banded`` casts up front; the
+    quantized chain carries int8), so act_bytes defaults to elem_bytes —
+    the old worst-case-fp32 assumption made the model refuse G=8 for
+    bf16 at 50k, which runs fine on-chip and is measured faster (int8
+    202 -> 190 us/spmm, bf16 325 -> 318; DESIGN.md §18).  ~16MB
+    VMEM/core on v5e; slack is left for Mosaic temporaries.  Raises
+    when even G=1 cannot fit."""
     from cnn_graph_tpu.ops.pallas_band import ROWS_PER_STEP, ring_span
 
     tc_est = 512
-    budget = 11 * 2**20
+    budget = 13 * 2**20
     if act_bytes is None:
-        act_bytes = max(elem_bytes, 4)  # worst case: fp32 activations
+        act_bytes = elem_bytes  # banded paths run compute-dtype x
 
     def vmem_est(g):
         return (

@@ -560,6 +560,13 @@ def banded_halo_laplacian(
         )
     if rows_per_step is None:
         G = auto_rows_per_step(base0, W, br, bc, jnp.dtype(dtype).itemsize)
+        # Rows are padded to a multiple of n*G and padded rows inherit
+        # the last REAL row's base — a G that is large next to the
+        # per-shard row count can push a whole shard into padding whose
+        # windows then look like giant left halos.  Cap G so padding
+        # stays under half a shard (no-op at production sizes: 50k/n=8
+        # has 392 block-rows, cap 24).
+        G = max(1, min(G, len(base0) // (2 * n)))
     else:
         G = rows_per_step
 

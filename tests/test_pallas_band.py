@@ -576,6 +576,29 @@ class TestAdjointChainConv:
             losses.append(float(l))
         assert losses[-1] < losses[0], losses
 
+    def test_input_grad_false_skips_dx_keeps_dw(self, ops_pair):
+        """input_grad=False (the first-layer declaration): dW identical
+        to the differentiated path, dx exactly zero — and the backward
+        jaxpr carries no adjoint-chain kernel calls."""
+        from cnn_graph_tpu.ops.filters import cheby_conv_banded
+
+        rop, _uop, _ = ops_pair
+        rng = np.random.default_rng(34)
+        B, Fin, Fout, K = 2, 4, 3, 7
+        x = jnp.asarray(rng.normal(size=(B, rop.m, Fin)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(K, Fin, Fout)) * 0.3, jnp.float32)
+        t = jnp.asarray(rng.normal(size=(B, rop.m, Fout)), jnp.float32)
+
+        def loss(x, w, input_grad):
+            return jnp.sum(cheby_conv_banded(x, rop, w, input_grad) * t)
+
+        gx1, gw1 = jax.grad(loss, argnums=(0, 1))(x, w, True)
+        gx0, gw0 = jax.grad(loss, argnums=(0, 1))(x, w, False)
+        np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
+                                   atol=1e-5, rtol=1e-5)
+        assert not np.any(np.asarray(gx0))
+        assert np.any(np.asarray(gx1))
+
 
 class TestChebyFinals:
     """cheby_finals: the donated double-hop chain driver (final-carry
