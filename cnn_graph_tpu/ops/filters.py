@@ -71,6 +71,38 @@ def _pad_nodes(x: jax.Array, m_padded: int) -> jax.Array:
     return jnp.pad(x, [(0, m_padded - m)] + [(0, 0)] * (x.ndim - 1))
 
 
+def _cheby_conv_quant_stream(x: jax.Array, L, w: jax.Array) -> jax.Array:
+    """Int8-carry Chebyshev conv with per-hop streamed taps.
+
+    The stacked-basis route (`_cheby_basis_quant` + one big einsum)
+    materializes the int8 stack, a full-precision dequantized copy AND
+    a [K, B, M, F] transpose — ~5 GB of HBM traffic at 50k/C=512/K=25
+    before the tap matmul reads any of it.  Here each hop's int8 carry
+    is dequantized straight into its tap contribution (`y += T_k x W_k`,
+    the scale fuses into the einsum) and only the two rolling carries
+    stay live.  Inference-only, like every quantized path."""
+    K, Fin, Fout = w.shape
+    B, M, F = x.shape
+    assert F == Fin, f"feature mismatch: x has {F}, w expects {Fin}"
+    xt = _pad_nodes(jnp.transpose(x, (1, 2, 0)).reshape(M, F * B),
+                    L.m_padded).astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xt)), 1e-30) * (L.headroom / 127.0)
+    wc = w.astype(jnp.float32)
+
+    y = jnp.zeros((B, M, Fout), jnp.float32)
+    q_prev = None
+    q = L.quantize(xt, scale=s_x)
+    for k in range(K):
+        if k == 1:
+            q_prev, q = q, L.spmm_q(q)
+        elif k >= 2:
+            q_prev, q = q, L.cheby_hop_q(q, q_prev)
+        dq = L.dequantize(q[:M], jnp.float32, scale=s_x).reshape(M, F, B)
+        y = y + jnp.einsum("mfb,fo->bmo", dq, wc[k],
+                           preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _cheby_basis_quant(x: jax.Array, L, K: int) -> jax.Array:
     """Quantized-carry Chebyshev basis for a QuantBandedLaplacian.
 
@@ -317,6 +349,14 @@ def cheby_conv(x: jax.Array, L: LaplacianOperator, w: jax.Array,
         # Banded operators take the layout-free path with the fused
         # three-term ADJOINT recurrence backward (cheby_conv_banded).
         return cheby_conv_banded(x, L, w, input_grad)
+
+    if hasattr(L, "cheby_hop_q") and not hasattr(L, "cheby_chain_q"):
+        # Single-chip quantized operators: stream the taps per hop
+        # instead of stacking + dequantizing + transposing the whole
+        # basis (~5 GB of HBM traffic at the 50k serving config).
+        # Sharded quant operators keep the stacked route — their chain
+        # materializes inside ONE shard_map region already.
+        return _cheby_conv_quant_stream(x, L, w)
 
     # bf16 operators use a smaller column tile: the fused kernel's VMEM
     # working set at tile 512 exceeds the 16MB scoped limit once XLA also
