@@ -62,11 +62,11 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["band", "base"],
+    data_fields=["band", "base", "sched", "sched_int", "sched_suf"],
     meta_fields=["mesh", "m", "m_padded", "nnz", "halo_left", "halo_right",
                  "rows_per_shard", "block_shape", "ring_slots",
                  "rows_per_step", "use_pallas", "boundary_pre",
-                 "boundary_suf", "overlap"],
+                 "boundary_suf", "overlap", "levels"],
 )
 @dataclasses.dataclass(frozen=True)
 class BandedHaloLaplacian(ChebyHopMixin):
@@ -103,6 +103,17 @@ class BandedHaloLaplacian(ChebyHopMixin):
     boundary_pre: int = 0   # halo-touching prefix block-rows (multiple of G)
     boundary_suf: int = 0   # halo-touching suffix block-rows (multiple of G)
     overlap: bool = False   # interior/boundary split for comm overlap
+    # Ragged per-super-step band widths (DESIGN.md S19): the band is the
+    # FLAT per-shard layout [n, total_max, br, bc] and the int32
+    # schedules [n, 3, nsb] carry (flat offsets, level idx, column
+    # high-water) — extended coords for the full/prefix passes
+    # (``sched``), interior-local coords (``sched_int``) and a
+    # region-prefix-max suffix variant (``sched_suf``).  Empty levels =
+    # the uniform layout.
+    levels: tuple = ()
+    sched: jax.Array | None = None
+    sched_int: jax.Array | None = None
+    sched_suf: jax.Array | None = None
 
     @property
     def compute_dtype(self):
@@ -110,7 +121,7 @@ class BandedHaloLaplacian(ChebyHopMixin):
 
     @property
     def band_width(self):
-        return self.band.shape[2]
+        return self.levels[-1] if self.levels else self.band.shape[2]
 
     def matmul(self, x: jax.Array) -> jax.Array:
         """``L @ x`` for ``x`` [Mp, C] sharded P('nodes', None)."""
@@ -135,6 +146,105 @@ class BandedHaloLaplacian(ChebyHopMixin):
 
     def _apply_impl(self, x: jax.Array, x0: jax.Array | None) -> jax.Array:
         return _apply_sharded(self, x, x0)
+
+
+def _ragged_from_uniform(band, base_local, h_l, h_r, G, pre, suf,
+                         max_levels: int = 4):
+    """Derive per-shard ragged flat bands + int32 schedules from the
+    uniform per-shard band ``[n, nbr_s, W, br, bc]`` (host-side numpy).
+
+    Returns ``(levels, flat[n, total_max, br, bc], sched[n, 3, nsb],
+    sched_int[n, 3, int_sb], sched_suf[n, 3, suf_sb], ring)``.  The
+    schedules carry (flat-band block offset, level index, monotone
+    column high-water) per super-step: ``sched`` in EXTENDED local
+    coords (valid for the full pass and, as a prefix slice, the
+    boundary-prefix pass — its running max starts at step 0 either
+    way), ``sched_int`` over the interior steps only with bases
+    shifted to x_local coords (-h_l), ``sched_suf`` over the suffix
+    steps with the running max restarted there.  Levels are chosen
+    once across ALL shards so every shard compiles the same kernel;
+    ring is the max collision span over every region/shard.
+    """
+    from cnn_graph_tpu.ops.laplacian import choose_band_levels
+    from cnn_graph_tpu.ops.pallas_band import PREFETCH_AHEAD
+
+    n, nbr_s, W, br, bc = band.shape
+    assert nbr_s % G == 0
+    nsb = nbr_s // G
+    n_cb_ext = nbr_s + h_l + h_r  # square blocks: col blocks == row blocks
+
+    # Per-row true span from the rightmost nonzero block (>= 1).
+    nz = band.reshape(n, nbr_s, W, -1).any(axis=3)
+    has = nz.any(axis=2)
+    dmax = W - 1 - np.argmax(nz[:, :, ::-1], axis=2)
+    span = np.where(has, dmax + 1, 1).astype(np.int64)
+
+    ws = span.reshape(n, nsb, G).max(axis=2)            # [n, nsb]
+    levels = choose_band_levels(ws.reshape(-1), max_levels)
+    lv = np.asarray(levels, np.int64)
+    lvl_idx = np.searchsorted(lv, ws)                   # [n, nsb]
+    wl = lv[lvl_idx]
+
+    offs = np.zeros((n, nsb), np.int64)
+    offs[:, 1:] = np.cumsum(G * wl, axis=1)[:, :-1]
+    total_max = int((G * wl).sum(axis=1).max())
+    flat = np.zeros((n, total_max, br, bc), band.dtype)
+    for s in range(n):
+        for t_ in range(nsb):
+            L_ = int(wl[s, t_])
+            o = int(offs[s, t_])
+            flat[s, o:o + G * L_] = (
+                band[s, t_ * G:(t_ + 1) * G, :L_].reshape(G * L_, br, bc)
+            )
+
+    base64 = base_local.astype(np.int64)
+
+    def hw_of(base_rows, lo, hi, col_count):
+        """Running max of (step's last-row base + level) over steps
+        [lo, hi), restarted at lo, clamped to col_count."""
+        last_rows = (np.arange(lo, hi) + 1) * G - 1
+        step_hi = base_rows[:, last_rows] + wl[:, lo:hi]
+        return np.minimum(np.maximum.accumulate(step_hi, axis=1),
+                          col_count)
+
+    def sched_of(lo, hi, hw):
+        return np.stack([
+            np.broadcast_to(offs[:, lo:hi], hw.shape),
+            np.broadcast_to(lvl_idx[:, lo:hi], hw.shape),
+            hw,
+        ], axis=1).astype(np.int32)                      # [n, 3, hi-lo]
+
+    def ring_of(base_rows, lo, hi, hw):
+        """Max live-column span with PA lookahead over the region."""
+        steps = hi - lo
+        idx = np.minimum(np.arange(steps) + PREFETCH_AHEAD, steps - 1)
+        started = hw[:, idx]
+        in_use = base_rows[:, (np.arange(lo, hi)) * G]
+        return int((started - in_use).max()) + 1
+
+    pre_sb, suf_sb = pre // G, suf // G
+    hw_full = hw_of(base64, 0, nsb, n_cb_ext)
+    sched = sched_of(0, nsb, hw_full)
+    rings = [ring_of(base64, 0, nsb, hw_full)]
+    if pre_sb:
+        rings.append(ring_of(base64, 0, pre_sb, hw_full[:, :pre_sb]))
+
+    int_lo, int_hi = pre_sb, nsb - suf_sb
+    if int_hi > int_lo and (pre_sb or suf_sb):
+        base_int = base64 - h_l
+        hw_int = hw_of(base_int, int_lo, int_hi, nbr_s)
+        sched_int = sched_of(int_lo, int_hi, hw_int)
+        rings.append(ring_of(base_int, int_lo, int_hi, hw_int))
+    else:
+        sched_int = sched[:, :, :1]  # unused placeholder
+    if suf_sb:
+        hw_suf = hw_of(base64, nsb - suf_sb, nsb, n_cb_ext)
+        sched_suf = sched_of(nsb - suf_sb, nsb, hw_suf)
+        rings.append(ring_of(base64, nsb - suf_sb, nsb, hw_suf))
+    else:
+        sched_suf = sched[:, :, :1]  # unused placeholder
+
+    return levels, flat, sched, sched_int, sched_suf, max(rings)
 
 
 def _exchange_parts(op, x_local):
@@ -162,7 +272,7 @@ def _exchange_parts(op, x_local):
 
 
 def _shard_hop(op, band, base, x_local, x0_local,
-               band_scale: float | None):
+               band_scale: float | None, scheds=None):
     """One shard-local fused hop: neighbor exchange + banded pass.
 
     ``band``/``base`` are the unwrapped per-shard slices; runs inside a
@@ -172,13 +282,27 @@ def _shard_hop(op, band, base, x_local, x0_local,
     ``QuantBandedLaplacian._call``, so the sharded chain is bit-exact
     with the single-chip one.  The halo ppermutes then move int8
     payloads: HALF the ICI bytes per hop of the bf16 training operator
-    (DESIGN.md §13)."""
+    (DESIGN.md §13).
+
+    With ``op.levels`` set the band is the per-shard RAGGED flat layout
+    and ``scheds=(sched, sched_int, sched_suf)`` are the unwrapped
+    per-shard schedules (see ``_ragged_from_uniform``); each region's
+    pass runs ``banded_call_ragged`` against the WHOLE flat band (the
+    schedule's offsets address it), so no band slicing is needed.
+    """
     ms = op.rows_per_shard
     quant = band_scale is not None
-    nbr_s, _W, br, _bc = band.shape
+    ragged = bool(op.levels)
+    br = op.block_shape[0]
+    if ragged:
+        sched_full, sched_int, sched_suf = scheds
+        G = op.rows_per_step
+        nbr_s = ms // br
+    else:
+        nbr_s, _W, br, _bc = band.shape
 
     def run(bslice, baseslice, xarr, x0slice, out_rows):
-        """One banded pass on a row sub-range (Pallas on TPU, an
+        """One UNIFORM banded pass on a row sub-range (Pallas on TPU, an
         accumulator-exact einsum oracle elsewhere)."""
         if op.use_pallas:
             from cnn_graph_tpu.ops.pallas_band import banded_call
@@ -192,6 +316,40 @@ def _shard_hop(op, band, base, x_local, x0_local,
         xb = xarr.reshape(-1, bc, xarr.shape[1])
         cols = baseslice[:, None] + jnp.arange(W)[None, :]
         wins = jnp.take(xb, cols, axis=0)  # [rows, W, bc, C]
+        return _emit(bslice, wins, x0slice, out_rows)
+
+    def run_ragged(sched, baseslice, xarr, x0slice, out_rows):
+        """One RAGGED banded pass over the super-steps ``sched`` covers;
+        offsets address the whole flat band."""
+        if op.use_pallas:
+            from cnn_graph_tpu.ops.pallas_band import banded_call_ragged
+
+            return banded_call_ragged(
+                band, baseslice, sched, xarr, x0slice,
+                levels=op.levels, ring=op.ring_slots, G=G,
+                out_rows=out_rows, band_scale=band_scale,
+            ).astype(x_local.dtype)
+        # Oracle: gather each row's lvl blocks from the flat band via the
+        # schedule, zero-pad to the max level, and run the same
+        # accumulator-exact einsum as the uniform path.
+        lv = jnp.asarray(np.asarray(op.levels, np.int32))
+        Wmax = int(op.levels[-1])
+        rows = sched.shape[1] * G
+        step = jnp.arange(rows) // G
+        g = jnp.arange(rows) % G
+        lvl = lv[sched[1]][step]                       # [rows]
+        start = sched[0][step] + g * lvl               # [rows]
+        d = jnp.arange(Wmax)[None, :]
+        valid = d < lvl[:, None]
+        idx = jnp.clip(start[:, None] + d, 0, band.shape[0] - 1)
+        blocks = jnp.where(valid[:, :, None, None], band[idx], 0)
+        bc = op.block_shape[1]
+        xb = xarr.reshape(-1, bc, xarr.shape[1])
+        cols = jnp.clip(baseslice[:, None] + d, 0, xb.shape[0] - 1)
+        wins = jnp.take(xb, cols, axis=0)              # [rows, Wmax, bc, C]
+        return _emit(blocks, wins, x0slice, out_rows)
+
+    def _emit(bslice, wins, x0slice, out_rows):
         if quant:
             acc = jnp.einsum(
                 "iwab,iwbc->iac", bslice, wins,
@@ -223,41 +381,68 @@ def _shard_hop(op, band, base, x_local, x0_local,
         # their window bases out of the extended space and run
         # them against x_local — no dependence on the ppermute
         # results, so the exchange hides behind this pass.
-        y_int = run(
-            band[pre:pre + interior],
-            base[pre:pre + interior] - op.halo_left,
-            x_local, x0_rows(pre, pre + interior), interior * br,
-        )
+        if ragged:
+            y_int = run_ragged(
+                sched_int, base[pre:pre + interior] - op.halo_left,
+                x_local, x0_rows(pre, pre + interior), interior * br,
+            )
+        else:
+            y_int = run(
+                band[pre:pre + interior],
+                base[pre:pre + interior] - op.halo_left,
+                x_local, x0_rows(pre, pre + interior), interior * br,
+            )
         x_ext = (jnp.concatenate(parts, axis=0)
                  if len(parts) > 1 else x_local)
         ys = []
         if pre:
-            ys.append(run(band[:pre], base[:pre], x_ext,
-                          x0_rows(0, pre), pre * br))
+            ys.append(
+                run_ragged(sched_full[:, : pre // G], base[:pre], x_ext,
+                           x0_rows(0, pre), pre * br)
+                if ragged else
+                run(band[:pre], base[:pre], x_ext,
+                    x0_rows(0, pre), pre * br)
+            )
         ys.append(y_int)
         if suf:
-            ys.append(run(band[nbr_s - suf:], base[nbr_s - suf:],
-                          x_ext, x0_rows(nbr_s - suf, nbr_s),
-                          suf * br))
+            ys.append(
+                run_ragged(sched_suf, base[nbr_s - suf:], x_ext,
+                           x0_rows(nbr_s - suf, nbr_s), suf * br)
+                if ragged else
+                run(band[nbr_s - suf:], base[nbr_s - suf:],
+                    x_ext, x0_rows(nbr_s - suf, nbr_s), suf * br)
+            )
         return jnp.concatenate(ys, axis=0)
     x_ext = (jnp.concatenate(parts, axis=0)
              if len(parts) > 1 else x_local)
+    if ragged:
+        return run_ragged(sched_full, base, x_ext, x0_local, ms)
     return run(band, base, x_ext, x0_local, ms)
 
 
 def _apply_sharded(op, x: jax.Array, x0: jax.Array | None,
                    band_scale: float | None = None) -> jax.Array:
     """One sharded hop as its own shard_map region (see _shard_hop)."""
+    ragged = bool(op.levels)
 
-    def local(band, base, *xs):
+    def local(band, base, *rest):
+        if ragged:
+            sf, si, ss, *xs = rest
+            scheds = (sf[0], si[0], ss[0])
+        else:
+            xs = rest
+            scheds = None
         return _shard_hop(op, band[0], base[0], xs[0],
-                          xs[1] if len(xs) > 1 else None, band_scale)
+                          xs[1] if len(xs) > 1 else None, band_scale,
+                          scheds=scheds)
 
-    operands = (op.band, op.base, x) + (
+    sched_ops = ((op.sched, op.sched_int, op.sched_suf) if ragged else ())
+    operands = (op.band, op.base) + sched_ops + (x,) + (
         (x0,) if x0 is not None else ()
     )
-    in_specs = (P("nodes"), P("nodes"), P("nodes", None)) + (
-        (P("nodes", None),) if x0 is not None else ()
+    in_specs = (
+        (P("nodes"),) * (2 + len(sched_ops)) + (P("nodes", None),)
+        + ((P("nodes", None),) if x0 is not None else ())
     )
     # Fully-manual shard_map, like parallel/sparse_halo.py: the
     # whole-graph node models carry no batch dimension here.
@@ -271,41 +456,57 @@ def _apply_sharded(op, x: jax.Array, x0: jax.Array | None,
     )(*operands)
 
 
+def _sched_operands(op):
+    ragged = bool(op.levels)
+    ops_ = ((op.sched, op.sched_int, op.sched_suf) if ragged else ())
+    return ragged, ops_, (P("nodes"),) * len(ops_)
+
+
 def _chain_sharded(op, x: jax.Array, K: int,
                    band_scale: float | None = None) -> jax.Array:
     """The WHOLE K-term Chebyshev basis in ONE shard_map region.
 
     Per-hop operators pay one dispatch (plus GSPMD entry/exit resharding)
-    per SpMM — measured at up to ~78 us on the tunnel (BASELINE.md), which
-    caps strong scaling at 2-4 chips.  Running all K-1 hops (ppermutes
-    included) inside a single region amortizes that cost per CHAIN: the
-    collectives stay on the ICI ring, and XLA schedules the whole
-    recurrence as one program.  Returns the stacked basis ``[K, Mp, C]``
-    (sharded P(None, 'nodes', None)); bit-exact with the per-hop path
-    (same per-shard arithmetic, same order)."""
+    per SpMM — measured at ~8 us/spmm on the tunnel once slope-fit
+    (BASELINE.md round-4).  Running all K-1 hops (ppermutes included)
+    inside a single region amortizes even that per CHAIN — and lets the
+    hop loop keep its carries in place, which measured FASTER than the
+    per-hop plain kernel (DESIGN.md §17).  Returns the stacked basis
+    ``[K, Mp, C]`` (sharded P(None, 'nodes', None)); bit-exact with the
+    per-hop path (same per-shard arithmetic, same order)."""
+    ragged = bool(op.levels)
 
-    def local(band, base, x_local):
+    def local(band, base, *rest):
+        if ragged:
+            sf, si, ss, x_local = rest
+            scheds = (sf[0], si[0], ss[0])
+        else:
+            (x_local,) = rest
+            scheds = None
         band, base = band[0], base[0]
+
+        def hop(x1, x0):
+            return _shard_hop(op, band, base, x1, x0, band_scale,
+                              scheds=scheds)
+
         basis = [x_local]
         if K > 1:
-            basis.append(
-                _shard_hop(op, band, base, x_local, None, band_scale)
-            )
+            basis.append(_shard_hop(op, band, base, x_local, None,
+                                    band_scale, scheds=scheds))
         for _ in range(2, K):
-            basis.append(
-                _shard_hop(op, band, base, basis[-1], basis[-2],
-                           band_scale)
-            )
+            basis.append(hop(basis[-1], basis[-2]))
         return jnp.stack(basis)
 
+    ragged, sched_ops, sched_specs = _sched_operands(op)
     return jax.shard_map(
         local,
         mesh=op.mesh,
-        in_specs=(P("nodes"), P("nodes"), P("nodes", None)),
+        in_specs=(P("nodes"), P("nodes")) + sched_specs
+        + (P("nodes", None),),
         out_specs=P(None, "nodes", None),
         axis_names=set(op.mesh.axis_names),
         check_vma=False,
-    )(op.band, op.base, x)
+    )(op.band, op.base, *sched_ops, x)
 
 
 def _adjoint_chain_sharded(op, g: jax.Array) -> jax.Array:
@@ -324,15 +525,24 @@ def _adjoint_chain_sharded(op, g: jax.Array) -> jax.Array:
     the adjoint costs exactly one forward chain plus one plain SpMM —
     all inside a single dispatch."""
     K = g.shape[0]
+    ragged = bool(op.levels)
 
-    def local(band, base, g_local):
+    def local(band, base, *rest):
+        if ragged:
+            sf, si, ss, g_local = rest
+            scheds = (sf[0], si[0], ss[0])
+        else:
+            (g_local,) = rest
+            scheds = None
         band, base = band[0], base[0]
 
         def hop(x1, x0):
-            return _shard_hop(op, band, base, x1, x0, None)
+            return _shard_hop(op, band, base, x1, x0, None,
+                              scheds=scheds)
 
         def spmm(v):
-            return _shard_hop(op, band, base, v, None, None)
+            return _shard_hop(op, band, base, v, None, None,
+                              scheds=scheds)
 
         if K == 1:
             return g_local[0]
@@ -347,14 +557,16 @@ def _adjoint_chain_sharded(op, g: jax.Array) -> jax.Array:
             s_next, s_next2 = g_local[k] + hop(s_next, s_next2), s_next
         return g_local[0] + spmm(s_next) - s_next2
 
+    ragged, sched_ops, sched_specs = _sched_operands(op)
     return jax.shard_map(
         local,
         mesh=op.mesh,
-        in_specs=(P("nodes"), P("nodes"), P(None, "nodes", None)),
+        in_specs=(P("nodes"), P("nodes")) + sched_specs
+        + (P(None, "nodes", None),),
         out_specs=P("nodes", None),
         axis_names=set(op.mesh.axis_names),
         check_vma=False,
-    )(op.band, op.base, g)
+    )(op.band, op.base, *sched_ops, g)
 
 
 @jax.custom_vjp
@@ -412,12 +624,12 @@ _banded_halo_chain.defvjp(_bhc_fwd, _bhc_bwd)
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["band", "base"],
+    data_fields=["band", "base", "sched", "sched_int", "sched_suf"],
     meta_fields=["mesh", "m", "m_padded", "nnz", "halo_left", "halo_right",
                  "rows_per_shard", "block_shape", "ring_slots",
                  "rows_per_step", "use_pallas", "boundary_pre",
                  "boundary_suf", "overlap", "band_scale", "act_scale",
-                 "headroom"],
+                 "headroom", "levels"],
 )
 @dataclasses.dataclass(frozen=True)
 class QuantBandedHaloLaplacian(QuantOpMixin):
@@ -458,10 +670,14 @@ class QuantBandedHaloLaplacian(QuantOpMixin):
     band_scale: float = 1.0
     act_scale: float = 1.0
     headroom: float = 2.0
+    levels: tuple = ()
+    sched: jax.Array | None = None
+    sched_int: jax.Array | None = None
+    sched_suf: jax.Array | None = None
 
     @property
     def band_width(self):
-        return self.band.shape[2]
+        return self.levels[-1] if self.levels else self.band.shape[2]
 
     def spmm_q(self, x_q: jax.Array) -> jax.Array:
         """``quantize(L @ dequantize(x_q))``, one int8 pass per shard."""
@@ -520,6 +736,10 @@ def quantize_banded_halo(op: BandedHaloLaplacian, headroom: float = 2.0,
         band_scale=s_b,
         act_scale=float(sample_x) * headroom / 127.0,
         headroom=headroom,
+        levels=op.levels,
+        sched=op.sched,
+        sched_int=op.sched_int,
+        sched_suf=op.sched_suf,
     )
 
 
@@ -532,6 +752,7 @@ def banded_halo_laplacian(
     rows_per_step: int | None = None,
     use_pallas: bool | None = None,
     max_band_width: int = 48,
+    ragged: bool = True,
 ) -> BandedHaloLaplacian:
     """Build the row-sharded banded operator over ``mesh``'s 'nodes' axis.
 
@@ -539,6 +760,12 @@ def banded_halo_laplacian(
     shard on each side (true for planar/kNN city graphs once shards hold
     more block-rows than the band is wide); raises otherwise — fall back
     to ``sparse_halo_laplacian`` for scattered or tiny-shard cases.
+
+    ``ragged`` (default on, like the single-chip packer) stores each
+    G-row super-step at one of <= 4 static width levels instead of the
+    global max W — the same ~20% band FLOP/byte cut as DESIGN.md §12,
+    now per shard; the schedules ride as sharded int32 operands so every
+    shard runs one compiled kernel (DESIGN.md §19).
     """
     if rescale:
         L = rescale_laplacian(L, lmax=lmax)
@@ -651,10 +878,23 @@ def banded_halo_laplacian(
         if hi > lo
     )
 
+    # Ragged derivation from the uniform layout (band is still the
+    # host-side numpy [n, nbr_s, W, br, bc] here).
+    levels: tuple = ()
+    sched_j = sched_int_j = sched_suf_j = None
+    shard = NamedSharding(mesh, P("nodes"))
+    if ragged:
+        levels, band, sched_np, sched_int_np, sched_suf_np, ring = (
+            _ragged_from_uniform(np.asarray(band), base_local, h_l, h_r,
+                                 G, pre, suf)
+        )
+        sched_j = jax.device_put(jnp.asarray(sched_np), shard)
+        sched_int_j = jax.device_put(jnp.asarray(sched_int_np), shard)
+        sched_suf_j = jax.device_put(jnp.asarray(sched_suf_np), shard)
+
     # Pre-shard the per-shard fields over 'nodes' (like sparse_halo):
     # otherwise the FULL global band lands on one device and every call
     # pays a reshard — fatal at the >single-chip scales this targets.
-    shard = NamedSharding(mesh, P("nodes"))
     return BandedHaloLaplacian(
         band=jax.device_put(jnp.asarray(band, dtype=dtype), shard),
         base=jax.device_put(jnp.asarray(base_local), shard),
@@ -672,4 +912,8 @@ def banded_halo_laplacian(
         boundary_pre=pre,
         boundary_suf=suf,
         overlap=overlap,
+        levels=levels,
+        sched=sched_j,
+        sched_int=sched_int_j,
+        sched_suf=sched_suf_j,
     )

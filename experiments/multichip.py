@@ -109,10 +109,9 @@ def main_wrapper(argv):
     side = int(argv[0]) if argv else 224
     C = 512
     L, _ = city_graph(side, k=8, seed=0)
-    # The sharded path runs the uniform band layout; compare like with
-    # like (ragged=False) so the delta is pure wrapper cost.
-    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16,
-                          ragged=False)
+    # Both paths run the ragged layout (the default on each side since
+    # round 4), so the delta is pure wrapper cost.
+    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
 
@@ -220,8 +219,7 @@ def main_chain(argv):
     side = int(argv[0]) if argv else 224
     C = 512
     L, _ = city_graph(side, k=8, seed=0)
-    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16,
-                          ragged=False)
+    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
 
