@@ -311,6 +311,68 @@ def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8):
     }
 
 
+def _sharded_chain_section(L, X, K=25):
+    """Certify the SHARDED recurrence on real hardware every round:
+    the ragged banded-halo operator (DESIGN.md §19) at nodes=1 (the one
+    reachable chip), running all K-1 hops + ppermutes in ONE shard_map
+    region (`cheby_chain`/`cheby_chain_q`), slope-fit.  At nodes=1 no
+    collectives are emitted, so this bounds the sharded-path overhead
+    vs the single-chip donated chain (`bf16`/`int8` sections above)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_graph_tpu.parallel import (
+        banded_halo_laplacian,
+        make_mesh,
+        quantize_banded_halo,
+    )
+    from cnn_graph_tpu.utils.profiling import slope_time
+
+    mesh = make_mesh(data=1, nodes=1)
+    hop = banded_halo_laplacian(L, mesh, dtype=jnp.bfloat16)
+
+    def make_chain(u):
+        @jax.jit
+        def run(op, x):
+            def body(_, v):
+                last = op.cheby_chain(v, K)[K - 1]
+                s = jax.lax.rsqrt(
+                    jnp.mean(last.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (last * s).astype(v.dtype)
+
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return run
+
+    def make_chain_q(u):
+        @jax.jit
+        def run(qop, x):
+            xq = qop.quantize(x.astype(jnp.float32))
+            out = jax.lax.fori_loop(
+                0, u, lambda _, v: qop.cheby_chain_q(v, K)[K - 1], xq
+            )
+            return jnp.mean(qop.dequantize(out) ** 2)
+
+        return run
+
+    out = {"operator": type(hop).__name__, "mesh_nodes": 1,
+           "levels": list(hop.levels),
+           "layout": "ragged" if hop.levels else "uniform"}
+    with mesh:
+        per, _f = slope_time(make_chain, (hop, X), units=(2, 8))
+        dt = per / (K - 1)
+        out["bf16_us_per_spmm"] = round(dt * 1e6, 1)
+        out["bf16_edges_per_s"] = round(hop.nnz / dt / 1e9, 4)
+        qh = quantize_banded_halo(hop, sample_x=3.0)
+        per, _f = slope_time(make_chain_q, (qh, X), units=(2, 8))
+        dt = per / (K - 1)
+        out["int8_us_per_spmm"] = round(dt * 1e6, 1)
+        out["int8_edges_per_s"] = round(hop.nnz / dt / 1e9, 4)
+    return out
+
+
 def _big_graph_spmm(side=224, K=25, C=512, outer=4):
     """Production-scale config: ~50k-node planar city-like graph (jittered
     grid, 8-NN, RCM-ordered — the humanflow domain at metropolitan scale),
@@ -412,6 +474,11 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
     except Exception as e:  # noqa: BLE001 — degrade, don't die
         training = {"status": "failed", "error": repr(e)[:200]}
 
+    try:
+        sharded = _sharded_chain_section(L, X, K=K)
+    except Exception as e:  # noqa: BLE001 — degrade, don't die
+        sharded = {"status": "failed", "error": repr(e)[:200]}
+
     best = ("int8_inference", dt_q) if dt_q < dt_bf16 else (
         "bf16_training", dt_bf16)
     return {
@@ -424,6 +491,7 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
         "int8": report(qop, dt_q, fixed_q, "int8"),
         "serving": serving,
         "training": training,
+        "sharded": sharded,
         "config": "planar 50k-node city graph, 8-NN, RCM, K=25 recurrence",
     }
 
