@@ -610,7 +610,7 @@ def main():
     epoch_s = step_s * 550  # 55k train samples / batch 100
 
     big = _big_graph_subprocess(
-        int(os.environ.get("BENCH_BIG_TIMEOUT_S", "900"))
+        int(os.environ.get("BENCH_BIG_TIMEOUT_S", "1500"))
     )
 
     # Headline: the production-scale planar-graph K=25 recurrence — the
