@@ -22,6 +22,26 @@ def setup():
 
 
 class TestBandedHalo:
+    def test_ragged_default_matches_uniform_exactly(self, setup):
+        """The ragged per-shard layout (DESIGN.md §19, the default) and
+        the uniform layout are the same blocks in the same order — their
+        chains must agree to accumulation-order precision."""
+        L, mesh, op, _ = setup
+        assert op.levels, "ragged should be the sharded default"
+        uni = banded_halo_laplacian(L, mesh, ragged=False)
+        assert not uni.levels
+        rng = np.random.default_rng(7)
+        x = np.zeros((op.m_padded, 32), np.float32)
+        x[: op.m] = rng.normal(size=(op.m, 32))
+        with mesh:
+            got_r = np.asarray(jax.jit(
+                lambda o, v: o.cheby_chain(v, 5)
+            )(op, jnp.asarray(x)))
+            got_u = np.asarray(jax.jit(
+                lambda o, v: o.cheby_chain(v, 5)
+            )(uni, jnp.asarray(x)))
+        np.testing.assert_allclose(got_r, got_u, atol=1e-5)
+
     def test_matmul_matches_dense(self, setup):
         L, mesh, op, ref = setup
         rng = np.random.default_rng(0)
