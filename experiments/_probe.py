@@ -16,15 +16,18 @@ see experiments/_compile_probe.py and the verify skill).
   python experiments/_probe.py band [side]    # ragged/uniform x G sweep
   python experiments/_probe.py pa   [side] [pa...]  # PREFETCH_AHEAD sweep
   python experiments/_probe.py trace [side] [dir]   # jax.profiler per-op table
+  python experiments/_probe.py tracetrain [side]    # 50k train-step op table
   python experiments/_probe.py serve [side] [dir]   # 50k serving artifact timing
   python experiments/_probe.py serveload [dir]      # fresh-process artifact load
   python experiments/_probe.py scatter [K]    # 20NEWS-like scattered graph
 
-Findings these modes produced (recorded in DESIGN.md §11): measured
-device peaks bf16 114 TF/s / f32 47 / int8 153 TOP/s (vs 197 TF
-datasheet); Pallas in-kernel taps cap at ~73-81 TF bf16 / ~96 TOP int8
-regardless of M/K composition; predication costs more than the skipped
-work; chunked row-slab DMA is slower than the per-block pipeline.
+Findings these modes produced: the round-≤3 numbers (DESIGN.md §11)
+were depressed by a fixed ~25.6 ms/dispatch tunnel round-trip; all
+modes now SLOPE-FIT two chain lengths (DESIGN.md §16).  Recalibrated:
+device peaks bf16 193 TF/s (98% of datasheet) / f32 140 / int8 370
+TOP/s; in-kernel taps 160 TF bf16 / 284 TOP int8 (72-82% of datasheet);
+predication costs more than the skipped work; chunked row-slab DMA is
+slower than the per-block pipeline.
 """
 
 import sys
@@ -543,8 +546,17 @@ def main_trace(argv):
         s = float(jax.device_get(chain_q(qop, X)))
     print("traced call scalar:", s, flush=True)
 
-    # Parse the chrome-trace events (trace.json.gz) and aggregate device
-    # op durations by name.
+    _print_trace_table(log_dir)
+
+
+def _print_trace_table(log_dir, top=18):
+    """Parse the newest chrome-trace (trace.json.gz) under ``log_dir``
+    and print device op durations aggregated by name."""
+    import glob
+    import gzip
+    import json
+    import os
+
     paths = sorted(glob.glob(
         os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True
     ), key=os.path.getmtime)
@@ -572,9 +584,55 @@ def main_trace(argv):
     print(f"\ndevice rows: {len(durs)} ops, {total/1e3:.2f} ms total")
     for (pname, name), (dur, cnt) in sorted(
         durs.items(), key=lambda kv: -kv[1][0]
-    )[:14]:
+    )[:top]:
         print(f"{dur/1e3:9.3f} ms  x{cnt:4d}  {name[:80]}")
     print("\ntrace dir:", log_dir, "->", paths[-1])
+
+
+def main_tracetrain(argv):
+    """Trace ONE 50k NodeClassifier train step (fwd chain + streamed
+    taps/dW + adam) and print the device-op table — the attribution
+    behind DESIGN.md §18's train-step anatomy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.models import NodeClassifier
+    from cnn_graph_tpu.ops import device_laplacian
+    from cnn_graph_tpu.utils.profiling import trace
+
+    side = int(argv[0]) if argv else 224
+    K, C, n_classes = 25, 512, 16
+    L, _ = city_graph(side, k=8, seed=0)
+    op = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    m = op.m_padded
+    model = NodeClassifier(op, input_features=C, num_classes=n_classes,
+                           hidden=[], K=K)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    feats = jnp.asarray(rng.normal(size=(m, C)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, n_classes, m), jnp.int32)
+    mask = jnp.ones((m,), bool)
+
+    @jax.jit
+    def step(op, params, state, feats, y, mask):
+        loss, g = jax.value_and_grad(model.loss)(params, feats, y, mask)
+        up, state = opt.update(g, state, params)
+        return optax.apply_updates(params, up), state, loss
+
+    out = step(op, params, state, feats, y, mask)
+    print("warm loss:", float(jax.device_get(out[2])), flush=True)
+    log_dir = argv[1] if len(argv) > 1 else "/tmp/cnn_graph_trace_train"
+    with trace(log_dir):
+        s = float(jax.device_get(
+            step(op, params, state, feats, y, mask)[2]
+        ))
+    print("traced loss:", s, flush=True)
+    _print_trace_table(log_dir)
 
 
 def _serve_model(side):
@@ -750,8 +808,9 @@ def main_scatter(argv):
 
 MODES = {"peak": main_peak, "mxu": main_mxu, "pred": main_pred,
          "bsr": main_bsr, "band": main_band, "pa": main_pa,
-         "trace": main_trace, "serve": main_serve,
-         "serveload": main_serveload, "scatter": main_scatter}
+         "trace": main_trace, "tracetrain": main_tracetrain,
+         "serve": main_serve, "serveload": main_serveload,
+         "scatter": main_scatter}
 
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in MODES:
