@@ -240,15 +240,19 @@ def _serving_section(L, positions, op, qop, K=25, C=512, steps=120,
     return out
 
 
-def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8):
-    """Training-path record at the headline scale (VERDICT round-3
-    next-step #2: 'first, record it'): a 50k-node NodeClassifier
-    fwd+bwd+adam step — one wide K=25 conv, Fin=C=512 — through the
-    streaming banded conv (cheby_conv_banded) whose backward runs the
-    fused three-term adjoint recurrence.  Reports us/step and the
-    training-path edge rate (2(K-1) SpMM-equivalents per step: forward
-    chain + adjoint chain; the tap/adjoint einsums ride the MXU at the
-    XLA peak on top)."""
+def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8,
+                       hidden=()):
+    """Training-path record at the headline scale: a 50k-node
+    NodeClassifier fwd+bwd+adam step through the streaming banded conv
+    (cheby_conv_banded) whose backward runs the fused three-term
+    adjoint recurrence.  ``hidden=()`` is the single-conv config (one
+    wide K=25 conv, layer-0 input_grad=False so NO adjoint chain runs);
+    ``hidden=[512]`` is the DEEP config (VERDICT round-4 next-step #2):
+    every layer past the first pays the K-1-hop adjoint chain
+    (band_cheby_hop_c), giving the §15 machinery its on-chip number.
+    Reports us/step and the training-path edge rate over the step's
+    SpMM-equivalents (layers*(K-1) forward + (layers-1)*(K-1)
+    adjoint)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -257,8 +261,9 @@ def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8):
 
     rng = np.random.default_rng(2)
     m = op.m_padded
+    hidden = list(hidden)
     model = NodeClassifier(op, input_features=C, num_classes=n_classes,
-                           hidden=[], K=K)
+                           hidden=hidden, K=K)
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)
     state = opt.init(params)
@@ -272,7 +277,8 @@ def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8):
         @jax.jit
         def steps(op, params, state, feats, y, mask):
             mm = NodeClassifier(op, input_features=C,
-                                num_classes=n_classes, hidden=[], K=K)
+                                num_classes=n_classes, hidden=hidden,
+                                K=K)
 
             def body(carry, i):
                 params, state = carry
@@ -297,17 +303,21 @@ def _train_50k_section(op, K=25, C=512, n_classes=16, iters=8):
     dt, fixed = slope_time(make_steps,
                            (op, params, state, feats, y, mask),
                            units=(4, 4 * iters))
-    # Single-conv model + input_grad=False on layer 0: the step pays the
-    # K-1-hop FORWARD chain only (the backward adjoint chain is skipped
-    # because raw features need no cotangent; dW is one contraction of
-    # the saved basis).  DESIGN.md §18.
-    n_spmm = K - 1
+    # Layer 0 runs input_grad=False (raw features need no cotangent), so
+    # the step pays layers*(K-1) FORWARD hops plus (layers-1)*(K-1)
+    # backward ADJOINT hops; dW is one streamed contraction per layer.
+    # DESIGN.md §18 (single-conv anatomy) / §20 (deep).
+    layers = len(hidden) + 1
+    n_spmm = layers * (K - 1) + (layers - 1) * (K - 1)
     return {
-        "model": f"NodeClassifier K={K} Fin={C} classes={n_classes}",
+        "model": (f"NodeClassifier K={K} Fin={C} classes={n_classes} "
+                  f"hidden={hidden}"),
         "ms_per_step": round(dt * 1000, 2),
         "fixed_dispatch_ms": round(fixed * 1e3, 2),
         "train_edges_per_s": round(op.nnz * n_spmm / dt / 1e9, 4),
         "spmm_equivalents_per_step": n_spmm,
+        "forward_hops": layers * (K - 1),
+        "adjoint_hops": (layers - 1) * (K - 1),
     }
 
 
@@ -357,6 +367,34 @@ def _sharded_chain_section(L, X, K=25):
 
         return run
 
+    def make_train(u):
+        """Fwd+bwd sharded TRAIN step (VERDICT round-4 next-step #4a):
+        grad through ``cheby_chain`` runs the one-region ADJOINT
+        recurrence (`_adjoint_chain_sharded`), so each step pays
+        (K-1) forward + (K-1) adjoint hops + 1 SpMM, all ppermutes
+        inside the regions.  Scalar per-hop taps keep the surrounding
+        einsums cheap; step-varying features stop XLA hoisting the
+        chain out of the scan."""
+        @jax.jit
+        def run(op, w, x):
+            def body(w, i):
+                def loss_fn(w):
+                    xx = (x * (1.0 + 1e-6 * i.astype(jnp.float32))
+                          ).astype(x.dtype)
+                    basis = op.cheby_chain(xx, K)  # [K, Mp, C]
+                    y = jnp.einsum("kmc,k->mc",
+                                   basis.astype(jnp.float32), w)
+                    return jnp.mean(y * y)
+
+                l, g = jax.value_and_grad(loss_fn)(w)
+                return w - 1e-3 * g, l
+
+            w, losses = jax.lax.scan(body, jnp.ones((K,), jnp.float32),
+                                     jnp.arange(u))
+            return jnp.mean(losses)
+
+        return run
+
     out = {"operator": type(hop).__name__, "mesh_nodes": 1,
            "levels": list(hop.levels),
            "layout": "ragged" if hop.levels else "uniform"}
@@ -370,6 +408,14 @@ def _sharded_chain_section(L, X, K=25):
         dt = per / (K - 1)
         out["int8_us_per_spmm"] = round(dt * 1e6, 1)
         out["int8_edges_per_s"] = round(hop.nnz / dt / 1e9, 4)
+        per, _f = slope_time(make_train, (hop, X), units=(2, 8))
+        n_spmm = 2 * (K - 1) + 1
+        out["train_ms_per_step"] = round(per * 1e3, 2)
+        out["train_spmm_equivalents"] = n_spmm
+        out["train_us_per_spmm_equiv"] = round(per / n_spmm * 1e6, 1)
+        out["train_edges_per_s"] = round(
+            hop.nnz * n_spmm / per / 1e9, 4
+        )
     return out
 
 
@@ -474,6 +520,14 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
     except Exception as e:  # noqa: BLE001 — degrade, don't die
         training = {"status": "failed", "error": repr(e)[:200]}
 
+    # Deep (2-conv) training: the fused adjoint chain's on-chip number
+    # (layer 1 pays K-1 backward adjoint hops; VERDICT round-4 #2).
+    try:
+        training_deep = _train_50k_section(op, K=K, C=C, hidden=[512],
+                                           iters=4)
+    except Exception as e:  # noqa: BLE001 — degrade, don't die
+        training_deep = {"status": "failed", "error": repr(e)[:200]}
+
     try:
         sharded = _sharded_chain_section(L, X, K=K)
     except Exception as e:  # noqa: BLE001 — degrade, don't die
@@ -491,20 +545,219 @@ def _big_graph_spmm(side=224, K=25, C=512, outer=4):
         "int8": report(qop, dt_q, fixed_q, "int8"),
         "serving": serving,
         "training": training,
+        "training_deep": training_deep,
         "sharded": sharded,
         "config": "planar 50k-node city graph, 8-NN, RCM, K=25 recurrence",
     }
 
 
-def _big_graph_subprocess(timeout_s: int):
-    """Run the big-graph section in a child with a hard timeout: its
-    compile can take tens of minutes on this environment's remote-compile
+def _big_graph_100k(side=316, K=25, C=512):
+    """The scale story in the DRIVER'S artifact (VERDICT round-4 weak
+    #5): 100k-node donated chains, bf16 + int8, slope-fit — the numbers
+    DESIGN.md §18 reported in prose now ride in BENCH_r{N}.json.
+    Matches BASELINE.json config 5's scaling direction."""
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.ops import (
+        cheby_finals,
+        device_laplacian,
+        quantize_banded,
+    )
+    from cnn_graph_tpu.utils.profiling import slope_time, spmm_roofline
+
+    rng = np.random.default_rng(0)
+    L, _ = city_graph(side, k=8, seed=0)
+    op = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
+    X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
+
+    def make_chain(u):
+        @jax.jit
+        def chain(op, x):
+            def body(_, carry):
+                y = cheby_finals(op, carry, K)
+                s = jax.lax.rsqrt(
+                    jnp.mean(y.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (y * s).astype(x.dtype)
+
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return chain
+
+    def make_chain_q(u):
+        @jax.jit
+        def chain_q(qop, x):
+            xq = qop.quantize(x.astype(jnp.float32))
+            out = jax.lax.fori_loop(
+                0, u, lambda _, q: cheby_finals(qop, q, K), xq
+            )
+            return jnp.mean(qop.dequantize(out) ** 2)
+
+        return chain_q
+
+    out = {"nodes": int(op.m), "nnz": int(op.nnz),
+           "format": type(op).__name__,
+           "config": f"planar {op.m}-node city graph, 8-NN, RCM, K={K}"}
+    per, _f = slope_time(make_chain, (op, X), units=(2, 8))
+    dt = per / (K - 1)
+    out["bf16_us_per_spmm"] = round(dt * 1e6, 1)
+    out["bf16_edges_per_s"] = round(op.nnz / dt / 1e9, 4)
+    out["bf16_roofline"] = spmm_roofline(op, dt, C)
+    qop = quantize_banded(op, sample_x=3.0)
+    per, _f = slope_time(make_chain_q, (qop, X), units=(2, 8))
+    dt = per / (K - 1)
+    out["int8_us_per_spmm"] = round(dt * 1e6, 1)
+    out["int8_edges_per_s"] = round(op.nnz / dt / 1e9, 4)
+    out["int8_roofline"] = spmm_roofline(qop, dt, C)
+    return out
+
+
+def _scattered_section(K=5, C=512):
+    """The reference's flagship CLASSIFICATION topology on chip: the
+    10k-word 20NEWS-shape embedding-kNN graph (lib/utils.py:127-150;
+    20news.ipynb cell 22 runs GC32 with K=5).  fmt='auto' serves it
+    DENSE (DESIGN.md §17); round 5 adds the int8 dense twin, so the
+    chain runs both ways plus a planted-partition accuracy delta
+    through the user-facing model (VERDICT round-4 missing #2)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cnn_graph_tpu.data.text import synthetic_text_dataset
+    from cnn_graph_tpu.graphs import construction as gc
+    from cnn_graph_tpu.models import NodeClassifier
+    from cnn_graph_tpu.ops import (
+        cheby_finals,
+        device_laplacian,
+        quantize_dense,
+    )
+    from cnn_graph_tpu.utils.profiling import slope_time
+
+    ds = synthetic_text_dataset(n_docs=4000, vocab_size=12000, seed=0)
+    ds.clean_text()
+    ds.vectorize()
+    ds.remove_short_documents(nwords=5)
+    ds.keep_top_words(10000, Mprint=0)
+    ds.embed(size=64, seed=0)
+    dist, idx = gc.knn(ds.embeddings.astype(np.float32), k=16,
+                       algorithm="auto")
+    W = gc.adjacency(dist, idx)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm].tocsr()
+    L = gc.laplacian(W, normalized=True)
+
+    op = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
+    qop = quantize_dense(op, sample_x=3.0)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
+
+    def make_chain(u):
+        @jax.jit
+        def chain(op, x):
+            def body(_, carry):
+                y = cheby_finals(op, carry, K)
+                s = jax.lax.rsqrt(
+                    jnp.mean(y.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (y * s).astype(x.dtype)
+
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return chain
+
+    def make_chain_q(u):
+        @jax.jit
+        def chain_q(qop, x):
+            xq = qop.quantize(x.astype(jnp.float32))
+            out = jax.lax.fori_loop(
+                0, u, lambda _, q: cheby_finals(qop, q, K), xq
+            )
+            return jnp.mean(qop.dequantize(out) ** 2)
+
+        return chain_q
+
+    out = {"nodes": int(op.m), "nnz": int(op.nnz),
+           "format": type(op).__name__, "K": K,
+           "config": "10k-word embedding-kNN (20NEWS GC32 topology)"}
+    per, _f = slope_time(make_chain, (op, X), units=(4, 32))
+    dt = per / (K - 1)
+    out["bf16_us_per_spmm"] = round(dt * 1e6, 1)
+    out["bf16_edges_per_s"] = round(op.nnz / dt / 1e9, 4)
+    per, _f = slope_time(make_chain_q, (qop, X), units=(4, 32))
+    dt = per / (K - 1)
+    out["int8_us_per_spmm"] = round(dt * 1e6, 1)
+    out["int8_edges_per_s"] = round(op.nnz / dt / 1e9, 4)
+
+    # Planted-partition accuracy delta through the user-facing model
+    # (documents cluster by embedding neighborhood; features carry a
+    # class signature): f32 train, int8 drop-in inference.
+    n_classes, Fin, steps = 8, 64, 80
+    labels = (np.arange(op.m) * n_classes // op.m).astype(np.int64)
+    sig = rng.normal(0, 1, (n_classes, Fin)).astype(np.float32)
+    feats = sig[labels] + rng.normal(0, 1.0, (op.m, Fin)).astype(
+        np.float32
+    )
+    fp = np.zeros((op.m_padded, Fin), np.float32)
+    fp[: op.m] = feats
+    yp = np.zeros((op.m_padded,), np.int64)
+    yp[: op.m] = labels
+    train = np.zeros(op.m_padded, bool)
+    train[: op.m] = rng.random(op.m) < 0.1
+    test = np.zeros(op.m_padded, bool)
+    test[: op.m] = ~train[: op.m]
+
+    def mk(operator):
+        return NodeClassifier(operator, input_features=Fin,
+                              num_classes=n_classes, hidden=[], K=K)
+
+    model = mk(op)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    features, y, tmask, emask = map(jnp.asarray, (fp, yp, train, test))
+
+    @jax.jit
+    def fit(op, params, state, features, y, tmask):
+        def step(carry, _):
+            params, state = carry
+            loss, g = jax.value_and_grad(mk(op).loss)(params, features,
+                                                      y, tmask)
+            up, state = opt.update(g, state, params)
+            return (optax.apply_updates(params, up), state), loss
+
+        (params, state), losses = jax.lax.scan(
+            step, (params, state), None, length=steps
+        )
+        return params, losses
+
+    params, losses = fit(op, params, state, features, y, tmask)
+    assert np.isfinite(np.asarray(jax.device_get(losses))[-1])
+
+    @jax.jit
+    def acc(op, params, features, y, mask):
+        return mk(op).accuracy(params, features, y, mask)
+
+    acc_f = float(jax.device_get(acc(op, params, features, y, emask)))
+    acc_q = float(jax.device_get(acc(qop, params, features, y, emask)))
+    out["test_acc_f32"] = round(acc_f, 4)
+    out["test_acc_int8"] = round(acc_q, 4)
+    out["acc_delta_int8"] = round(acc_q - acc_f, 4)
+    return out
+
+
+def _section_subprocess(flag: str, timeout_s: int):
+    """Run one bench section in a child with a hard timeout: compiles
+    can take tens of minutes on this environment's remote-compile
     tunnel, and the bench must always emit its JSON line."""
     import subprocess
 
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--big-only"],
+            [sys.executable, os.path.abspath(__file__), flag],
             capture_output=True, text=True, timeout=timeout_s,
         )
         if proc.returncode == 0 and proc.stdout.strip():
@@ -512,6 +765,10 @@ def _big_graph_subprocess(timeout_s: int):
         return {"status": "failed", "stderr": proc.stderr[-300:]}
     except subprocess.TimeoutExpired:
         return {"status": "compile_timeout", "timeout_s": timeout_s}
+
+
+def _big_graph_subprocess(timeout_s: int):
+    return _section_subprocess("--big-only", timeout_s)
 
 
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -572,6 +829,12 @@ def main():
     if "--big-only" in sys.argv:
         print(json.dumps(_big_graph_spmm()))
         return
+    if "--big100k-only" in sys.argv:
+        print(json.dumps(_big_graph_100k()))
+        return
+    if "--scatter-only" in sys.argv:
+        print(json.dumps(_scattered_section()))
+        return
 
     dev = jax.devices()[0]
     print(f"benchmarking on {dev}", file=sys.stderr)
@@ -611,6 +874,13 @@ def main():
 
     big = _big_graph_subprocess(
         int(os.environ.get("BENCH_BIG_TIMEOUT_S", "1500"))
+    )
+    big100k = _section_subprocess(
+        "--big100k-only", int(os.environ.get("BENCH_100K_TIMEOUT_S", "600"))
+    )
+    scattered = _section_subprocess(
+        "--scatter-only", int(os.environ.get("BENCH_SCATTER_TIMEOUT_S",
+                                             "600"))
     )
 
     # Headline: the production-scale planar-graph K=25 recurrence — the
@@ -665,6 +935,8 @@ def main():
             "mnist_train_step_ms": round(step_s * 1000, 3),
             "mnist_epoch_s": round(epoch_s, 2),
             "big_graph_spmm": big,
+            "big_graph_100k": big100k,
+            "scattered_20news_topology": scattered,
             "device": str(dev),
             "baseline_anchor": {
                 "definition": "single-GPU HBM roofline for the reference's"
@@ -684,9 +956,8 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--inner" in sys.argv:
-        main()
-    elif "--big-only" in sys.argv:
+    if any(f in sys.argv for f in
+           ("--inner", "--big-only", "--big100k-only", "--scatter-only")):
         main()
     else:
         _watchdog_main()

@@ -86,6 +86,14 @@ class ChebNet:
     * ``brelu`` — ``b1relu`` | ``b2relu`` | ``b1tanh``.
     * ``pool`` — ``max`` | ``average`` (mpool1/apool1 in the reference).
     * ``dropout`` — keep probability for fc-layer dropout.
+    * ``input_grad`` (default False) — by default the first Chebyshev
+      conv declares that no cotangent with respect to the model INPUT is
+      consumed (raw pixels/features are leaves in the shipped training
+      loops), which on banded operators skips the backward adjoint chain
+      for layer 0.  The contract: with the default, ``jax.grad`` with
+      respect to ``x`` through a banded layer 0 returns EXACT ZEROS —
+      silently.  Pass ``input_grad=True`` for saliency/adversarial-input
+      work or any differentiable front-end feeding ``x``.
     """
 
     def __init__(
@@ -103,7 +111,9 @@ class ChebNet:
         dropout: float = 1.0,
         regularization: float = 0.0,
         spline_degree: int = 3,
+        input_grad: bool = False,
     ):
+        self.input_grad = input_grad
         assert len(operators) >= len(F) == len(K) == len(p)
         p_arr = np.asarray(p)
         assert np.all(p_arr >= 1)
@@ -171,10 +181,13 @@ class ChebNet:
 
     def _filter(self, i, x, w):
         if self.filter == "chebyshev":
-            # Layer 0 convolves the RAW input signal: its cotangent is
-            # never consumed, so the banded backward skips the adjoint
-            # chain (ops/filters.py cheby_conv_banded input_grad).
-            return cheby_conv(x, self.operators[i], w, input_grad=(i > 0))
+            # Layer 0 convolves the RAW input signal: unless the model
+            # was built with input_grad=True its cotangent is never
+            # consumed, so the banded backward skips the adjoint chain
+            # (zero-dx contract — see the class docstring and
+            # ops/filters.py cheby_conv_banded).
+            return cheby_conv(x, self.operators[i], w,
+                              input_grad=(i > 0 or self.input_grad))
         if self.filter == "lanczos":
             return lanczos_conv(x, self.operators[i], w)
         U, Bmat = self._bases[i]

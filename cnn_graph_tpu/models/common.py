@@ -62,20 +62,31 @@ def with_graph_arrays(model, tree: dict):
 
 def quantize_model_operators(model, sample_x: float = 1.0,
                              headroom: float = 2.0):
-    """A copy of ``model`` with every BANDED graph operator replaced by its
+    """A copy of ``model`` with every graph operator replaced by its
     int8-quantized twin — the one-call serving entry point.
 
     ``sample_x`` is the expected activation max of the model's INPUT (the
     recurrence itself uses a dynamic runtime scale inside ``cheby_conv``,
     so this only seeds the operators' default ``act_scale`` for direct
-    ``spmm_q`` use).  Non-banded operators (dense/BSR levels of a ChebNet
-    stack) pass through unchanged — mixed stacks are fine, each
-    ``cheby_conv`` dispatches per operator.  Sharded banded-halo
-    operators quantize to their multi-chip int8 twin (int8 carries over
-    the ICI ring — half the halo bytes; DESIGN.md §13).  See DESIGN.md
-    §11 and ``experiments/node_classification.py --int8``.
+    ``spmm_q`` use).  Every single-chip format has a twin: banded
+    (planar/city graphs), DENSE (the auto-chosen format for block-dense
+    scattered graphs like the 20NEWS embedding-kNN topology, DESIGN.md
+    §17), and BSR (scattered graphs above the dense budget) — mixed
+    stacks are fine, each ``cheby_conv`` dispatches per operator.
+    Sharded banded-halo / sparse-halo operators quantize to their
+    multi-chip int8 twins (int8 carries over the ICI exchange — half
+    the halo bytes; DESIGN.md §13).  BCOO (CPU-test fallback) passes
+    through unchanged.  See DESIGN.md §11 and
+    ``experiments/node_classification.py --int8``.
     """
-    from cnn_graph_tpu.ops.laplacian import BandedLaplacian, quantize_banded
+    from cnn_graph_tpu.ops.laplacian import (
+        BandedLaplacian,
+        BlockSparseLaplacian,
+        DenseLaplacian,
+        quantize_banded,
+        quantize_block_sparse,
+        quantize_dense,
+    )
     from cnn_graph_tpu.parallel.banded_halo import (
         BandedHaloLaplacian,
         quantize_banded_halo,
@@ -89,6 +100,11 @@ def quantize_model_operators(model, sample_x: float = 1.0,
     def q(op):
         if isinstance(op, BandedLaplacian):
             return quantize_banded(op, headroom=headroom, sample_x=sample_x)
+        if isinstance(op, DenseLaplacian):
+            return quantize_dense(op, headroom=headroom, sample_x=sample_x)
+        if isinstance(op, BlockSparseLaplacian):
+            return quantize_block_sparse(op, headroom=headroom,
+                                         sample_x=sample_x)
         if isinstance(op, BandedHaloLaplacian):
             return quantize_banded_halo(op, headroom=headroom,
                                         sample_x=sample_x)

@@ -33,6 +33,17 @@ class NodeClassifier:
     ``features``: [M, Fin] node features; output logits [M, C].
     ``hidden``: list of hidden widths, e.g. [64, 64]; ``K`` polynomial
     order per layer.
+
+    ``input_grad`` (default False): by default layer 0 declares that no
+    cotangent with respect to the INPUT features is consumed — correct
+    for the shipped loop (raw features are leaves), and on banded
+    operators it skips the K-1-hop backward adjoint chain (~half the
+    50k train step; ops/filters.py cheby_conv_banded).  The contract:
+    with the default, ``jax.grad`` of any function of the logits with
+    respect to ``features`` returns EXACT ZEROS on banded operators —
+    silently.  Pass ``input_grad=True`` for saliency maps, adversarial
+    input perturbations, or any differentiable front-end feeding the
+    features.
     """
 
     def __init__(
@@ -44,6 +55,7 @@ class NodeClassifier:
         K: int = 3,
         dropout: float = 1.0,
         residual: bool = False,
+        input_grad: bool = False,
     ):
         self.op = operator
         self.Fin = input_features
@@ -52,6 +64,7 @@ class NodeClassifier:
         self.K = K
         self.dropout = dropout
         self.residual = residual
+        self.input_grad = input_grad
 
     def init(self, key: jax.Array):
         widths = [self.Fin] + self.hidden + [self.C]
@@ -72,11 +85,13 @@ class NodeClassifier:
         x = features[None]  # [1, M, Fin]
         n = len(params["convs"])
         for i, layer in enumerate(params["convs"]):
-            # Layer 0 convolves RAW features — no input cotangent is ever
-            # consumed, so the banded backward skips its adjoint chain
-            # (~half the 50k train step; ops/filters.py).
+            # Layer 0 convolves RAW features — unless the model was built
+            # with input_grad=True, no input cotangent is consumed and the
+            # banded backward skips its adjoint chain (~half the 50k
+            # train step; see the class docstring for the zero-dx
+            # contract and ops/filters.py cheby_conv_banded).
             h = cheby_conv(x, self.op, layer["w"],
-                           input_grad=(i > 0)) + layer["b"]
+                           input_grad=(i > 0 or self.input_grad)) + layer["b"]
             last = i == n - 1
             if not last:
                 h = jax.nn.relu(h)

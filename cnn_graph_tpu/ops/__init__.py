@@ -19,7 +19,11 @@ from cnn_graph_tpu.ops.laplacian import (
     pack_banded_ragged,
     pack_block_sparse,
     QuantBandedLaplacian,
+    QuantBlockSparseLaplacian,
+    QuantDenseLaplacian,
     quantize_banded,
+    quantize_block_sparse,
+    quantize_dense,
 )
 from cnn_graph_tpu.ops.pooling import avg_pool, max_pool
 
@@ -40,7 +44,11 @@ __all__ = [
     "pack_banded_ragged",
     "pack_block_sparse",
     "QuantBandedLaplacian",
+    "QuantBlockSparseLaplacian",
+    "QuantDenseLaplacian",
     "quantize_banded",
+    "quantize_block_sparse",
+    "quantize_dense",
     "avg_pool",
     "max_pool",
 ]

@@ -44,7 +44,11 @@ __all__ = [
     "BlockSparseLaplacian",
     "BandedLaplacian",
     "QuantBandedLaplacian",
+    "QuantDenseLaplacian",
+    "QuantBlockSparseLaplacian",
     "quantize_banded",
+    "quantize_dense",
+    "quantize_block_sparse",
     "cheby_finals",
     "BCOOLaplacian",
     "device_laplacian",
@@ -151,7 +155,7 @@ class DenseLaplacian(ChebyHopMixin):
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_rows", "block_cols", "block_rowptr"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas",
-                 "row_max"],
+                 "row_max", "rows_per_step", "group_max"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockSparseLaplacian(ChebyHopMixin):
@@ -183,6 +187,16 @@ class BlockSparseLaplacian(ChebyHopMixin):
     # (amortizing the fixed per-block transfer cost) instead of one DMA
     # per block; the tail pad makes the static-size overrun safe.
     row_max: int = 0
+    # Grouped-row mode (the banded kernel's lesson applied to BSR): when
+    # rows_per_step (G) > 1, each grid step processes G consecutive
+    # block-rows, whose blocks — contiguous in block-CSR order — arrive
+    # as ONE double-buffered slab DMA of ``group_max`` blocks (the max
+    # group extent; ``blocks`` carries a group_max zero tail for the
+    # static overrun).  Amortizes the per-grid-step fixed cost (~1.7 us
+    # pipeline + scalar bookkeeping) that dominated the per-block
+    # pipeline at ~6-7 blocks/row (DESIGN.md §10/§17 "246 ns/block").
+    rows_per_step: int = 1
+    group_max: int = 0
 
     @property
     def block_size(self):  # square-block compatibility accessor
@@ -191,6 +205,15 @@ class BlockSparseLaplacian(ChebyHopMixin):
     @property
     def compute_dtype(self):
         return self.blocks.dtype
+
+    def cheby_hop(self, x1: jax.Array, x0: jax.Array, *,
+                  donate: bool = False) -> jax.Array:
+        del donate
+        if self.use_pallas and self.rows_per_step > 1:
+            from cnn_graph_tpu.ops.pallas_spmm import bsr_cheby_hop
+
+            return bsr_cheby_hop(self, x1, x0)
+        return super().cheby_hop(x1, x0)
 
     def matmul(self, x: jax.Array) -> jax.Array:
         """``L @ x`` for ``x`` of shape ``[Mp, C]``."""
@@ -508,6 +531,172 @@ def cheby_finals(L, x: jax.Array, K: int) -> jax.Array:
     return q
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mat"],
+    meta_fields=["m", "m_padded", "nnz", "mat_scale", "act_scale",
+                 "headroom"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuantDenseLaplacian(QuantOpMixin):
+    """Int8-quantized DENSE Laplacian — serving twin of DenseLaplacian.
+
+    The reference's flagship classification topology (the 20NEWS
+    embedding-kNN graph, /root/reference/lib/utils.py:127-150 +
+    nips2016/20news.ipynb cell 22) is ~54%% block-dense after RCM, so
+    ``fmt="auto"`` serves it as a DENSE operator (DESIGN.md §17) — this
+    twin gives that path int8 serving: the matrix is symmetric-quantized
+    with one global scale ``max|L|/127``, the recurrence runs int8 @
+    int8 -> int32 on the MXU (2x the bf16 rate class, half the HBM
+    bytes), and the dequant/requant emission works in input-scale units
+    exactly like ``QuantBandedLaplacian`` — so the activation scale is a
+    TRACED runtime value and the whole ``cheby_hop_q``/``spmm_q``
+    protocol (``ops.cheby_conv`` streaming dispatch, ``cheby_finals``
+    chains, ``quantize_model_operators``) applies unchanged.
+    Inference-only: no VJP (train in f32/bf16, quantize for serving).
+    """
+
+    mat: jax.Array   # [Mp, Mp] int8
+    m: int
+    m_padded: int
+    nnz: int
+    mat_scale: float  # dequant scale of the matrix
+    act_scale: float  # default activation scale (quantize/dequantize)
+    headroom: float = 2.0
+
+    def _call(self, x_q: jax.Array, x0_q: jax.Array | None) -> jax.Array:
+        acc = jnp.dot(self.mat, x_q, preferred_element_type=jnp.int32)
+        y = self.mat_scale * acc.astype(jnp.float32)
+        if x0_q is not None:
+            y = 2.0 * y - x0_q.astype(jnp.float32)
+        return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+
+    def spmm_q(self, x_q: jax.Array) -> jax.Array:
+        return self._call(x_q, None)
+
+    def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array, *,
+                    donate: bool = False) -> jax.Array:
+        del donate  # XLA manages buffers for the plain matmul path
+        return self._call(x1_q, x0_q)
+
+
+def quantize_dense(op: DenseLaplacian, headroom: float = 2.0,
+                   sample_x: float = 1.0) -> QuantDenseLaplacian:
+    """Quantize a DenseLaplacian for int8 inference (scale semantics
+    identical to :func:`quantize_banded`)."""
+    mat = np.asarray(jax.device_get(op.mat), np.float32)
+    s = float(np.max(np.abs(mat))) / 127.0
+    if s == 0.0:
+        s = 1.0
+    mat_q = np.clip(np.round(mat / s), -127, 127).astype(np.int8)
+    return QuantDenseLaplacian(
+        mat=jnp.asarray(mat_q), m=op.m, m_padded=op.m_padded, nnz=op.nnz,
+        mat_scale=s, act_scale=float(sample_x) * headroom / 127.0,
+        headroom=headroom,
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blocks", "block_rows", "block_cols", "block_rowptr"],
+    meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas",
+                 "block_scale", "act_scale", "headroom", "row_max",
+                 "rows_per_step", "group_max"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuantBlockSparseLaplacian(QuantOpMixin):
+    """Int8-quantized BSR Laplacian — serving twin of
+    BlockSparseLaplacian for scattered graphs ABOVE the dense budget
+    (RCV1-scale embedding-kNN graphs, /root/reference/lib/utils.py:
+    162-218).  Same one-global-scale / input-scale-units emission as
+    the banded and dense twins; int8 tile taps accumulate in int32
+    (XLA: einsum + segment_sum; Pallas: the grouped-row BSR kernel
+    with the quant emission).  Inference-only."""
+
+    blocks: jax.Array       # [nb (+ pad), br, bc] int8
+    block_rows: jax.Array   # [nb] int32, sorted
+    block_cols: jax.Array   # [nb] int32
+    block_rowptr: jax.Array  # [n_row_blocks + 1] int32
+    m: int
+    m_padded: int
+    nnz: int
+    block_shape: tuple
+    use_pallas: bool
+    block_scale: float
+    act_scale: float
+    headroom: float = 2.0
+    row_max: int = 0
+    rows_per_step: int = 1  # grouped-row kernel G (see BlockSparse twin)
+    group_max: int = 0
+
+    @property
+    def block_size(self):
+        return self.block_shape[0]
+
+    def _acc(self, x_q: jax.Array) -> jax.Array:
+        """Int32 accumulator ``(L/scale) @ x_q`` via the XLA path."""
+        br, bc = self.block_shape
+        n_row_blocks = self.m_padded // br
+        nb = self.block_cols.shape[0]
+        xb = x_q.reshape(self.m_padded // bc, bc, -1)
+        gathered = jnp.take(xb, self.block_cols, axis=0)
+        partial = jnp.einsum(
+            "nij,njc->nic", self.blocks[:nb], gathered,
+            preferred_element_type=jnp.int32,
+        )
+        acc = jax.ops.segment_sum(
+            partial, self.block_rows, num_segments=n_row_blocks,
+            indices_are_sorted=True,
+        )
+        return acc.reshape(x_q.shape)
+
+    def _call(self, x_q: jax.Array, x0_q: jax.Array | None) -> jax.Array:
+        if self.use_pallas and self.group_max > 0:
+            from cnn_graph_tpu.ops.pallas_spmm import bsr_call_quant
+
+            return bsr_call_quant(self, x_q, x0_q)
+        acc = self._acc(x_q)
+        y = self.block_scale * acc.astype(jnp.float32)
+        if x0_q is not None:
+            y = 2.0 * y - x0_q.astype(jnp.float32)
+        return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+
+    def spmm_q(self, x_q: jax.Array) -> jax.Array:
+        return self._call(x_q, None)
+
+    def cheby_hop_q(self, x1_q: jax.Array, x0_q: jax.Array, *,
+                    donate: bool = False) -> jax.Array:
+        del donate
+        return self._call(x1_q, x0_q)
+
+
+def quantize_block_sparse(op: BlockSparseLaplacian, headroom: float = 2.0,
+                          sample_x: float = 1.0) -> QuantBlockSparseLaplacian:
+    """Quantize a BlockSparseLaplacian for int8 inference."""
+    blocks = np.asarray(jax.device_get(op.blocks), np.float32)
+    s = float(np.max(np.abs(blocks))) / 127.0
+    if s == 0.0:
+        s = 1.0
+    blocks_q = np.clip(np.round(blocks / s), -127, 127).astype(np.int8)
+    return QuantBlockSparseLaplacian(
+        blocks=jnp.asarray(blocks_q),
+        block_rows=op.block_rows,
+        block_cols=op.block_cols,
+        block_rowptr=op.block_rowptr,
+        m=op.m,
+        m_padded=op.m_padded,
+        nnz=op.nnz,
+        block_shape=op.block_shape,
+        use_pallas=op.use_pallas,
+        block_scale=s,
+        act_scale=float(sample_x) * headroom / 127.0,
+        headroom=headroom,
+        row_max=op.row_max,
+        rows_per_step=op.rows_per_step,
+        group_max=op.group_max,
+    )
+
+
 def quantize_banded(op: BandedLaplacian, headroom: float = 2.0,
                     sample_x: float = 1.0) -> QuantBandedLaplacian:
     """Quantize a BandedLaplacian for int8 inference.
@@ -544,7 +733,8 @@ def quantize_banded(op: BandedLaplacian, headroom: float = 2.0,
 
 LaplacianOperator = (
     DenseLaplacian | BlockSparseLaplacian | BandedLaplacian
-    | QuantBandedLaplacian | BCOOLaplacian
+    | QuantBandedLaplacian | QuantDenseLaplacian
+    | QuantBlockSparseLaplacian | BCOOLaplacian
 )
 
 
@@ -836,6 +1026,39 @@ def pack_block_sparse(L: scipy.sparse.spmatrix,
     return blocks, brows, (unique_ids % n_cb).astype(np.int32), rowptr, mp_r
 
 
+def choose_bsr_row_group(rowptr: np.ndarray, br: int, bc: int,
+                         elem_bytes: int, budget: int = 6 << 20,
+                         max_overfetch: float = 1.35,
+                         max_g: int = 16) -> tuple:
+    """Pick the BSR kernel's rows-per-step G and the static slab length.
+
+    Each grid step slab-DMAs ``Lg = max group extent`` blocks (double
+    buffered), so G is the largest candidate whose slab buffers fit the
+    VMEM ``budget`` AND whose fixed-length overrun does not overfetch
+    more than ``max_overfetch`` x the real blocks (hub-heavy graphs
+    whose max group extent dwarfs the mean would waste DMA bandwidth).
+    Returns ``(G, Lg)``; ``(1, 0)`` means stay on the per-block
+    pipeline."""
+    counts = np.diff(rowptr)
+    n_rb = len(counts)
+    nb = int(rowptr[-1])
+    if nb == 0 or n_rb == 0:
+        return 1, 0
+    for G in (16, 12, 8, 4, 2):
+        if G > max_g or G > n_rb:
+            continue
+        nsb = -(-n_rb // G)
+        pad = np.full(nsb * G - n_rb, 0, counts.dtype)
+        ext = np.concatenate([counts, pad]).reshape(nsb, G).sum(axis=1)
+        Lg = int(ext.max())
+        if 2 * Lg * br * bc * elem_bytes > budget:
+            continue
+        if nsb * Lg > max_overfetch * nb:
+            continue
+        return G, Lg
+    return 1, 0
+
+
 def device_laplacian(
     L: scipy.sparse.spmatrix,
     lmax: float = 2.0,
@@ -998,6 +1221,34 @@ def device_laplacian(
             )
         else:
             row_max = 0
+        # Grouped-row slab DMA (default when it fits): G block-rows per
+        # grid step, their blocks — contiguous in block-CSR order — as
+        # one double-buffered slab transfer; amortizes the per-grid-step
+        # fixed cost that dominated the per-block pipeline (the flat
+        # "246 ns/block" of DESIGN.md §17).  Mutually exclusive with the
+        # opt-in chunked_rows experiment.
+        G, Lg = (1, 0)
+        if row_max == 0 and use_pallas:
+            G, Lg = choose_bsr_row_group(
+                rowptr, *block_shape, jnp.dtype(dtype).itemsize
+            )
+            if G == 1 and len(counts):
+                # Keep the slab pad even at G=1 so the grouped kernel
+                # (the int8 twin's only Pallas path) is always callable.
+                Lg = int(counts.max())
+        if Lg > 0:
+            br_sz = block_shape[0]
+            # Whole super-steps: pad rows (empty extents) so the output
+            # grid tiles into (G*br, tc) blocks.
+            mp = _round_up(mp, int(np.lcm(G * br_sz, block_shape[1])))
+            n_rb = mp // br_sz
+            rowptr = np.concatenate(
+                [rowptr,
+                 np.full(n_rb + 1 - len(rowptr), rowptr[-1], rowptr.dtype)]
+            )
+            blocks = np.concatenate(
+                [blocks, np.zeros((Lg,) + blocks.shape[1:], blocks.dtype)]
+            )
         return BlockSparseLaplacian(
             blocks=jnp.asarray(blocks, dtype=dtype),
             block_rows=jnp.asarray(brows),
@@ -1009,6 +1260,8 @@ def device_laplacian(
             block_shape=block_shape,
             use_pallas=use_pallas,
             row_max=row_max,
+            rows_per_step=G,
+            group_max=Lg,
         )
 
     if fmt == "bcoo":

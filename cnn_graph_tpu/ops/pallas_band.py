@@ -40,8 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["band_spmm", "band_cheby_hop", "band_cheby_hop_c",
-           "banded_call", "banded_call_ragged", "PREFETCH_AHEAD",
-           "ROWS_PER_STEP"]
+           "banded_call", "banded_call_ragged", "banded_call_dkw",
+           "pack_dkw_from_ragged", "PREFETCH_AHEAD", "ROWS_PER_STEP"]
 
 PREFETCH_AHEAD = 1  # super-steps of DMA lookahead (NB = PA + 1 band slabs
 # in VMEM); one super-step ahead is G block-rows of in-flight transfers.
@@ -402,6 +402,253 @@ def banded_call_ragged(band, base, sched, x, x0=None, c=None, *, levels,
     return y[:, :C]
 
 
+def pack_dkw_from_ragged(band_flat, sched, levels, G: int, br: int,
+                         bc: int):
+    """Repack the flat ragged band for the deep-K window kernel.
+
+    The tap-loop kernels issue W separate ``[br,bc]@[bc,tc]`` MXU dots
+    per block-row; slope-fit probes (`_probe.py mxu`, DESIGN.md §16)
+    measure ONE deep-K dot of the same FLOPs ~10%% faster for int8
+    (311 vs 283.6 TOP/s) — the per-dot issue overhead is real at K=128.
+    This layout makes the single wide dot possible: each block-row's
+    W_l blocks are stored side by side in the LANE dim as ``[br,
+    W_l*bc]``, one array per width level (``[n_rows_l, br, W_l*bc]``),
+    rows ordered by super-step.  Returns ``(bands, sched_dkw)`` where
+    ``sched_dkw`` row 0 holds each step's ROW offset into its level's
+    array (rows 1-2 unchanged: level index, column high-water).
+    """
+    import numpy as np
+
+    offs, lvl_idx, hw = (np.asarray(v, np.int64) for v in sched)
+    nsb = len(offs)
+    counts = np.zeros(len(levels), np.int64)
+    row_off = np.zeros(nsb, np.int64)
+    for s in range(nsb):
+        li = int(lvl_idx[s])
+        row_off[s] = counts[li]
+        counts[li] += G
+    bands = [
+        np.zeros((max(int(counts[i]), G), br, levels[i] * bc),
+                 band_flat.dtype)
+        for i in range(len(levels))
+    ]
+    for s in range(nsb):
+        li = int(lvl_idx[s])
+        w = levels[li]
+        blk = band_flat[int(offs[s]): int(offs[s]) + G * w]
+        # [G, w, br, bc] -> [G, br, w*bc]: blocks side by side in lanes.
+        blk = blk.reshape(G, w, br, bc).transpose(0, 2, 1, 3)
+        bands[li][int(row_off[s]): int(row_off[s]) + G] = (
+            blk.reshape(G, br, w * bc)
+        )
+    sched_dkw = np.stack([row_off, lvl_idx, hw]).astype(np.int32)
+    return bands, sched_dkw
+
+
+def _kernel_dkw(base_ref, sched_ref, *refs, levels, br, bc, tc, R, G,
+                hop, has_c=False, band_scale=None, pa=None):
+    """Deep-K window variant of ``_kernel_ragged``: ONE wide MXU dot
+    per block-row (``[br, W_l*bc] @ [W_l*bc, tc]``) instead of W_l
+    separate taps.  Needs the x window CONTIGUOUS in VMEM, so the ring
+    is extended by ``Wmax-1`` duplicate slots: a column landing in ring
+    slot ``< Wmax-1`` is mirrored past the end with a VMEM-to-VMEM
+    copy (no extra HBM traffic), making every wrap-around window a
+    contiguous ``[W_l*bc, tc]`` sublane slice."""
+    nl = len(levels)
+    band_refs, rest = refs[:nl], refs[nl:]
+    x_ref = rest[0]
+    rest = rest[1:]
+    c_ref = None
+    if hop and has_c:
+        x0_ref, c_ref, y_ref, bslab, xring, bsem, xsem, dsem = rest
+    elif hop:
+        x0_ref, y_ref, bslab, xring, bsem, xsem, dsem = rest
+    else:
+        y_ref, bslab, xring, bsem, xsem, dsem = rest
+        x0_ref = None
+    quant = band_scale is not None
+    acc_dt = jnp.int32 if quant else jnp.float32
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    nsb = pl.num_programs(1)
+    PA = PREFETCH_AHEAD if pa is None else pa
+    NB = PA + 1
+    last = nsb - 1
+    Wmax = levels[-1]
+
+    def band_dma(step, slot, li, lvl):
+        return pltpu.make_async_copy(
+            band_refs[li].at[pl.ds(sched_ref[0, step], G)],
+            bslab.at[slot, :, :, pl.ds(0, lvl * bc)],
+            bsem.at[slot],
+        )
+
+    def for_level(step, fn):
+        for i, lvl in enumerate(levels):
+            @pl.when(sched_ref[1, step] == i)
+            def _(i=i, lvl=lvl):
+                fn(i, lvl)
+
+    def x_dma(col):
+        slot = jax.lax.rem(col, R)
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(col * bc, bc), pl.ds(j * tc, tc)],
+            xring.at[pl.ds(slot * bc, bc)],
+            xsem.at[slot],
+        )
+
+    def dup_copy(col):
+        """Mirror ring slot ``slot`` to ``R + slot`` (local VMEM copy)
+        so wrap-around windows read contiguously."""
+        slot = jax.lax.rem(col, R)
+        return pltpu.make_async_copy(
+            xring.at[pl.ds(slot * bc, bc)],
+            xring.at[pl.ds((R + slot) * bc, bc)],
+            dsem.at[slot],
+        )
+
+    def start_cols(lo, hi):
+        jax.lax.fori_loop(lo, hi, lambda c, _: (x_dma(c).start(), 0)[1], 0)
+
+    def wait_cols(lo, hi):
+        def wait_col(c, _):
+            x_dma(c).wait()
+
+            @pl.when(jax.lax.rem(c, R) < Wmax - 1)
+            def _():
+                dup_copy(c).start()
+                dup_copy(c).wait()
+
+            return 0
+
+        jax.lax.fori_loop(lo, hi, wait_col, 0)
+
+    def hi(t):
+        return sched_ref[2, jnp.minimum(t, last)]
+
+    base_s = base_ref[s * G]
+
+    @pl.when(s == 0)
+    def _():
+        for t in range(min(PA, nsb)):  # nsb is static
+            for_level(t, lambda li, lvl, t=t: band_dma(
+                t, t % NB, li, lvl).start())
+        start_cols(base_s, hi(PA - 1))
+
+    @pl.when(s + PA < nsb)
+    def _():
+        for_level(s + PA, lambda li, lvl: band_dma(
+            s + PA, jax.lax.rem(s + PA, NB), li, lvl).start())
+    start_cols(hi(s + PA - 1), hi(s + PA))
+
+    slot = jax.lax.rem(s, NB)
+    for_level(s, lambda li, lvl: band_dma(s, slot, li, lvl).wait())
+
+    @pl.when(s == 0)
+    def _():
+        wait_cols(base_s, hi(0))
+
+    @pl.when(s > 0)
+    def _():
+        wait_cols(hi(s - 1), hi(s))
+
+    def compute(li, lvl):
+        for g in range(G):
+            base_g = base_ref[s * G + g]
+            w_slot = jax.lax.rem(base_g, R)
+            xwin = xring[pl.ds(w_slot * bc, lvl * bc), :]
+            acc = jnp.dot(bslab[slot, g, :, : lvl * bc], xwin,
+                          preferred_element_type=acc_dt)
+            _emit_row(y_ref, x0_ref, c_ref, acc, g, br, hop, quant,
+                      band_scale)
+
+    for_level(s, compute)
+
+
+def banded_call_dkw(bands, base, sched, x, x0=None, c=None, *, levels,
+                    ring, G, out_rows, col_tile: int = 512,
+                    interpret: bool = False,
+                    band_scale: float | None = None,
+                    prefetch_ahead: int | None = None,
+                    donate_x0: bool = False):
+    """Deep-K window banded kernel call (see ``_kernel_dkw``).
+
+    ``bands``: one array per width level, ``[n_rows_l, br, W_l*bc]``
+    (from ``pack_dkw_from_ragged``); ``sched``: int32 ``[3, nsb]`` with
+    per-level ROW offsets.  Everything else matches
+    ``banded_call_ragged``."""
+    nl = len(levels)
+    br = bands[0].shape[1]
+    bc = bands[0].shape[2] // levels[0]
+    nsb = sched.shape[1]
+    mp = out_rows
+    R = ring
+    Wmax = levels[-1]
+    assert col_tile % 128 == 0
+    assert c is None or x0 is not None, "c injection requires the hop form"
+    C = x.shape[1]
+    tc = min(col_tile, max(128, -(-C // 128) * 128))
+    cp = -(-C // tc) * tc
+    if cp != C:
+        x = jnp.pad(x, ((0, 0), (0, cp - C)))
+        if x0 is not None:
+            x0 = jnp.pad(x0, ((0, 0), (0, cp - C)))
+        if c is not None:
+            c = jnp.pad(c, ((0, 0), (0, cp - C)))
+    hop = x0 is not None
+    has_c = c is not None
+    nb = (PREFETCH_AHEAD if prefetch_ahead is None else prefetch_ahead) + 1
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (nl + 1)
+    row_block = pl.BlockSpec(
+        (G * br, tc), lambda j, s, *_: (s, j), memory_space=pltpu.VMEM
+    )
+    if hop:
+        in_specs.append(row_block)
+    if has_c:
+        in_specs.append(row_block)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cp // tc, nsb),
+        in_specs=in_specs,
+        out_specs=row_block,
+        scratch_shapes=[
+            pltpu.VMEM((nb, G, br, Wmax * bc), bands[0].dtype),
+            pltpu.VMEM(((R + Wmax - 1) * bc, tc), x.dtype),
+            pltpu.SemaphoreType.DMA((nb,)),
+            pltpu.SemaphoreType.DMA((R,)),
+            pltpu.SemaphoreType.DMA((R,)),
+        ],
+    )
+
+    operands = (base, sched) + tuple(bands) + (x,) + (
+        (x0,) if hop else ()
+    ) + ((c,) if has_c else ())
+    # Operand index of x0 counts scalar-prefetch args + bands + x.
+    aliases = {3 + nl: 0} if (donate_x0 and hop) else {}
+    total_blocks = sum(b.size for b in bands) // (br * bc)
+    y = pl.pallas_call(
+        functools.partial(_kernel_dkw, levels=tuple(levels), br=br,
+                          bc=bc, tc=tc, R=R, G=G, hop=hop, has_c=has_c,
+                          band_scale=band_scale, pa=prefetch_ahead),
+        out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        input_output_aliases=aliases,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total_blocks * br * bc * cp,
+            bytes_accessed=(
+                sum(b.size * b.dtype.itemsize for b in bands)
+                * (cp // tc)
+                + (3 + has_c if hop else 2) * mp * cp * x.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(*operands)
+    return y[:, :C]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def band_spmm(L, x: jax.Array, col_tile: int = 512,
               interpret: bool = False) -> jax.Array:
@@ -425,19 +672,34 @@ def _band_bwd(col_tile, interpret, L, g):
 
 
 def _band_call(L, x, x0, col_tile, interpret, c=None, donate=False):
+    # Enforce the VMEM model's compute-dtype assumption at the kernel
+    # boundary: auto_rows_per_step sizes the x ring in the BAND element
+    # size, but the kernel allocates the ring in x.dtype — a direct f32
+    # matmul/cheby_hop call on a bf16-band operator would double the
+    # modeled ring footprint and can exceed ~16 MiB VMEM at the tight
+    # G=8 margin (library-internal callers already cast; this covers
+    # the public API).  The result comes back in the caller's dtype.
+    cdt = L.band.dtype
+    orig = x.dtype
+    x = x.astype(cdt)
+    x0 = None if x0 is None else x0.astype(cdt)
+    c = None if c is None else c.astype(cdt)
+
     if getattr(L, "levels", ()):
         import numpy as np
 
-        return banded_call_ragged(
+        y = banded_call_ragged(
             L.band, L.base, jnp.asarray(np.asarray(L.sched, np.int32)),
             x, x0, c, levels=L.levels, ring=L.ring_slots,
             G=L.rows_per_step, out_rows=L.m_padded, col_tile=col_tile,
             interpret=interpret, donate_x0=donate,
         )
-    return banded_call(L.band, L.base, x, x0, c, ring=L.ring_slots,
-                       G=L.rows_per_step, out_rows=L.m_padded,
-                       col_tile=col_tile, interpret=interpret,
-                       donate_x0=donate)
+    else:
+        y = banded_call(L.band, L.base, x, x0, c, ring=L.ring_slots,
+                        G=L.rows_per_step, out_rows=L.m_padded,
+                        col_tile=col_tile, interpret=interpret,
+                        donate_x0=donate)
+    return y.astype(orig)
 
 
 def band_cheby_hop_c(L, x1: jax.Array, x0: jax.Array, c: jax.Array,

@@ -25,11 +25,205 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bsr_spmm"]
+__all__ = ["bsr_spmm", "bsr_call_quant"]
 
 
 NBUF = 4  # DMA pipeline depth: per-block transfers are small (~tens of
 # KB), so latency only hides behind compute with several copies in flight.
+
+
+def _kernel_grouped(row_ptr_ref, cols_ref, blocks_ref, x_ref, *rest,
+                    br, bc, tc, G, Lg, hop, band_scale):
+    """Grouped-row BSR kernel: G consecutive block-rows per grid step.
+
+    The per-block pipeline (``_kernel``) pays its fixed costs — DMA
+    start/wait bookkeeping and scalar reads — PER BLOCK (~140 ns on top
+    of the ~105 ns MXU tap at C=512 bf16, the "246 ns/block" of
+    DESIGN.md §17).  Here the G rows' blocks, contiguous in block-CSR
+    order, arrive as ONE double-buffered slab DMA of the static max
+    group extent ``Lg`` (the operator pads ``blocks`` with Lg zero
+    blocks so the overrun is safe), and the x-tile pipeline runs
+    uninterrupted across row boundaries within the group — the banded
+    kernel's amortization lesson applied to scattered graphs.
+
+    ``band_scale`` enables the int8 path (int8 tiles x int8 x, int32
+    accumulation, dequant/requant at emission in input-scale units);
+    ``hop`` adds the fused Chebyshev update ``y = 2 (L @ x) - x0``.
+    Emission is shared with the banded kernels (``_emit_row``).
+    """
+    from cnn_graph_tpu.ops.pallas_band import _emit_row
+
+    if hop:
+        x0_ref, y_ref, bslab, xbuf, bsem, xsem = rest
+    else:
+        y_ref, bslab, xbuf, bsem, xsem = rest
+        x0_ref = None
+    quant = band_scale is not None
+    acc_dt = jnp.int32 if quant else jnp.float32
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    nsb = pl.num_programs(0)
+    lo_s = row_ptr_ref[s * G]
+    hi_s = row_ptr_ref[(s + 1) * G]
+
+    def slab_dma(step, slot):
+        return pltpu.make_async_copy(
+            blocks_ref.at[pl.ds(row_ptr_ref[step * G], Lg)],
+            bslab.at[slot],
+            bsem.at[slot],
+        )
+
+    # Block slab: double-buffered across grid steps, resident across
+    # column tiles (fetched at each step's first column tile only).
+    @pl.when(j == 0)
+    def _():
+        @pl.when(s == 0)
+        def _():
+            slab_dma(0, 0).start()
+
+        @pl.when(s + 1 < nsb)
+        def _():
+            slab_dma(s + 1, jax.lax.rem(s + 1, 2)).start()
+
+        slab_dma(s, jax.lax.rem(s, 2)).wait()
+
+    islot = jax.lax.rem(s, 2)
+
+    def x_dma(b, slot):
+        col = cols_ref[b]
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(col * bc, bc), pl.ds(j * tc, tc)],
+            xbuf.at[slot],
+            xsem.at[slot],
+        )
+
+    # Warm the x pipeline across the whole group's flat block extent;
+    # it then runs uninterrupted across row boundaries.
+    for d in range(NBUF - 1):
+        @pl.when(lo_s + d < hi_s)
+        def _(d=d):
+            x_dma(lo_s + d, jax.lax.rem(jnp.int32(d), NBUF)).start()
+
+    for g in range(G):
+        lo = row_ptr_ref[s * G + g]
+        hi = row_ptr_ref[s * G + g + 1]
+
+        def body(b, acc):
+            ahead = b + NBUF - 1
+
+            @pl.when(ahead < hi_s)
+            def _():
+                x_dma(ahead, jax.lax.rem(ahead - lo_s, NBUF)).start()
+
+            slot = jax.lax.rem(b - lo_s, NBUF)
+            x_dma(b, slot).wait()
+            return acc + jnp.dot(
+                bslab[islot, b - lo_s], xbuf[slot],
+                preferred_element_type=acc_dt,
+            )
+
+        acc = jax.lax.fori_loop(lo, hi, body, jnp.zeros((br, tc), acc_dt))
+        _emit_row(y_ref, x0_ref, None, acc, g, br, hop, quant, band_scale)
+
+
+def _grouped_call(L, x, x0=None, col_tile: int = 512,
+                  interpret: bool = False,
+                  band_scale: float | None = None):
+    """Invoke the grouped-row kernel on a (Quant)BlockSparseLaplacian."""
+    br, bc = L.block_shape
+    mp = L.m_padded
+    G = L.rows_per_step
+    Lg = L.group_max
+    assert Lg > 0, "grouped kernel needs the slab zero-pad (group_max)"
+    nsb = mp // br // G
+    C = x.shape[1]
+    tc = min(col_tile, max(128, -(-C // 128) * 128))
+    cp = -(-C // tc) * tc
+    if cp != C:
+        x = jnp.pad(x, ((0, 0), (0, cp - C)))
+        if x0 is not None:
+            x0 = jnp.pad(x0, ((0, 0), (0, cp - C)))
+    hop = x0 is not None
+
+    row_block = pl.BlockSpec(
+        (G * br, tc), lambda s, j, *_: (s, j), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+    ]
+    if hop:
+        in_specs.append(row_block)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsb, cp // tc),
+        in_specs=in_specs,
+        out_specs=row_block,
+        scratch_shapes=[
+            pltpu.VMEM((2, Lg, br, bc), L.blocks.dtype),  # block slabs
+            pltpu.VMEM((NBUF, bc, tc), x.dtype),          # x-tile pipeline
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    nb = int(L.block_cols.shape[0])
+    operands = (L.block_rowptr, L.block_cols, L.blocks, x) + (
+        (x0,) if hop else ()
+    )
+    y = pl.pallas_call(
+        functools.partial(_kernel_grouped, br=br, bc=bc, tc=tc, G=G,
+                          Lg=Lg, hop=hop, band_scale=band_scale),
+        out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * br * bc * cp,
+            bytes_accessed=(
+                nb * br * bc * L.blocks.dtype.itemsize
+                + (3 if hop else 2) * mp * cp * x.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(*operands)
+    return y[:, :C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def bsr_cheby_hop(L, x1: jax.Array, x0: jax.Array, col_tile: int = 512,
+                  interpret: bool = False) -> jax.Array:
+    """Fused Chebyshev hop ``y = 2 (L @ x1) - x0`` through the grouped
+    BSR kernel — one pass instead of SpMM + a separate 3-transfer XLA
+    elementwise update (the same fusion the banded kernel ships,
+    DESIGN.md §10).  Symmetric-adjoint VJP: ``dx1 = 2 L g``,
+    ``dx0 = -g``; the operator rides as a differentiable argument with
+    zero cotangents."""
+    return _grouped_call(L, x1, x0, col_tile, interpret)
+
+
+def _bsr_hop_fwd(L, x1, x0, col_tile, interpret):
+    return _grouped_call(L, x1, x0, col_tile, interpret), L
+
+
+def _bsr_hop_bwd(col_tile, interpret, L, g):
+    from cnn_graph_tpu.ops.laplacian import zero_cotangent
+
+    dx1 = 2.0 * _bsr_spmm_impl(L, g, col_tile, interpret)
+    return zero_cotangent(L), dx1, -g
+
+
+bsr_cheby_hop.defvjp(_bsr_hop_fwd, _bsr_hop_bwd)
+
+
+def bsr_call_quant(L, x_q: jax.Array, x0_q: jax.Array | None = None,
+                   col_tile: int = 512,
+                   interpret: bool = False) -> jax.Array:
+    """Int8 BSR SpMM / fused hop for a QuantBlockSparseLaplacian:
+    int8 tiles x int8 activations, int32 accumulation, dequant/requant
+    at emission in input-scale units (same arithmetic as the XLA
+    fallback in ops/laplacian.py, bit-exactly).  Inference-only."""
+    return _grouped_call(L, x_q, x0_q, col_tile, interpret,
+                         band_scale=L.block_scale)
 
 
 def _kernel(row_ptr_ref, cols_ref, blocks_ref, x_ref, y_ref,
@@ -188,6 +382,10 @@ def _bsr_bwd(col_tile, interpret, L, g):
 
 def _bsr_spmm_impl(L, x: jax.Array, col_tile: int = 512,
                    interpret: bool = False) -> jax.Array:
+    if getattr(L, "rows_per_step", 1) > 1:
+        # Grouped-row slab kernel: amortizes per-block fixed costs over
+        # G block-rows per grid step (see _kernel_grouped).
+        return _grouped_call(L, x, None, col_tile, interpret)
     br, bc = L.block_shape
     mp = L.m_padded
     nbr = mp // br

@@ -56,6 +56,14 @@ class TrainConfig:
     # sharded P('data') inside every jitted program, parameters and
     # optimizer state ride replicated, and XLA inserts the gradient
     # psum over the mesh — the train step itself is unchanged.
+    #
+    # dp x tp: the mesh may ALSO carry a 'nodes' axis when the model's
+    # operator is a sharded halo operator built over the same mesh
+    # (parallel.banded_halo_laplacian / sparse_halo_laplacian) — the
+    # operator's own shard_map partitions Laplacian rows + node
+    # activations over 'nodes' inside the unchanged step, composing
+    # with the batch sharding (step-parity-tested vs single-device:
+    # tests/test_training_infra.py::TestMeshDpTp).
     mesh: Any = None
 
 

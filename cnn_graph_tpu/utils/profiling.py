@@ -90,15 +90,26 @@ def trace(log_dir: str):
 # TPU v5e single-chip peaks.  MEASURED on this device with XLA's own
 # tuned matmul chain (experiments/_probe.py peak, SLOPE-FIT over two
 # chain lengths, chained 4096^2 dots): bf16 193 TFLOP/s (98% of the
-# datasheet 197T), f32 140 TFLOP/s (3-pass bf16 emulation — well above
-# the datasheet's nominal 49T fp32 row), int8 370 TOP/s (94% of 394T).
+# datasheet 197T), int8 370 TOP/s (94% of 394T).  The 'float32' entry
+# is the DEFAULT-PRECISION rate for f32-typed matmuls: XLA's TPU
+# default lowers them to single-pass bf16 compute with f32
+# accumulation (measured 140 TFLOP/s) — which is exactly what every
+# f32-operand matmul in this library runs, so it is the honest roofline
+# for those kernels.  Faithful fp32 precision (precision=HIGHEST,
+# multi-pass bf16 emulation) runs far slower — measured 22.6 TFLOP/s
+# on this chip (`_probe.py peak` f32_hi row); no shipped kernel
+# requests it.
 # The round-1 'measured peaks' (bf16 114T / int8 153T) were single-call
 # wall-clock numbers that silently folded the tunnel's fixed ~25.6 ms
 # per-dispatch host round-trip into the rate — slope-fit timing
 # (``slope_time``) cancels it and recovers the datasheet-class rates
 # (DESIGN.md §16).
 V5E_HBM_BYTES_PER_S = 819e9
-V5E_FLOPS = {"bfloat16": 193e12, "float32": 140e12, "int8": 370e12}
+V5E_FLOPS = {
+    "bfloat16": 193e12,
+    "float32": 140e12,  # default-precision (bf16-compute) f32 matmul
+    "int8": 370e12,
+}
 V5E_FLOPS_DATASHEET = {"bfloat16": 197e12, "float32": 49e12,
                        "int8": 394e12}
 

@@ -51,7 +51,7 @@ def _timed_scalar(run, *args):
 
 # ---------------------------------------------------------------- peak
 
-def _peak_probe(name, size, dtype, iters, acc_dtype=None):
+def _peak_probe(name, size, dtype, iters, acc_dtype=None, precision=None):
     """XLA's own matmul rate: chained fori_loop of big square matmuls,
     SLOPE-FIT over two chain lengths so the fixed per-dispatch host
     round-trip (~25.6 ms on this tunnel — which silently depressed the
@@ -92,7 +92,8 @@ def _peak_probe(name, size, dtype, iters, acc_dtype=None):
             def run(a, w):
                 def body(i, z):
                     return jax.lax.dot(
-                        z, w, preferred_element_type=acc
+                        z, w, preferred_element_type=acc,
+                        precision=precision,
                     ).astype(dt)
 
                 out = jax.lax.fori_loop(0, u, body, a)
@@ -117,6 +118,14 @@ def main_peak(argv):
     _peak_probe("bf16_4096", 4096, "bfloat16", it)
     _peak_probe("bf16_8192", 8192, "bfloat16", max(it // 8, 4))
     _peak_probe("f32_4096", 4096, "float32", max(it // 4, 4))
+    # Faithful fp32: precision=HIGHEST forces the multi-pass bf16
+    # emulation instead of the TPU default's single-pass bf16 compute —
+    # the honest ceiling for a kernel that REQUESTS full f32 precision
+    # (no shipped kernel does; the V5E_FLOPS['float32'] roofline entry
+    # is the default-precision rate, see utils/profiling.py).
+    import jax as _jax
+    _peak_probe("f32_hi_4096", 4096, "float32", max(it // 8, 4),
+                precision=_jax.lax.Precision.HIGHEST)
     _peak_probe("bf16_4096_f32acc", 4096, "bfloat16", it,
                 acc_dtype=jnp.float32)
     _peak_probe("int8_4096", 4096, "int8", it)
@@ -360,6 +369,82 @@ def main_bsr(argv):
               f"{op.nnz/dt/1e9:.3f} Gedges/s", flush=True)
 
 
+def main_bsrgroup(argv):
+    """A/B the grouped-row BSR kernel (G block-rows per grid step, one
+    slab DMA) against the per-block pipeline — VERDICT round-4
+    next-step #5: the ~246 ns/block fixed cost is hypothesized to be
+    per-grid-step bookkeeping amortizable over G rows.  Two graphs:
+    the 50k RCM city graph (banded-format territory, BSR as fallback)
+    and a 50k-node embedding-kNN SCATTERED graph (the RCV1-scale
+    shape, lib/utils.py:162-218 — above the dense budget, so BSR is
+    its production path).  Usage: bsrgroup [n_scatter] [side]."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.graphs import construction as gc
+    from cnn_graph_tpu.ops import cheby_finals, device_laplacian
+    from cnn_graph_tpu.utils.profiling import slope_time
+
+    n_scatter = int(argv[0]) if argv else 50000
+    side = int(argv[1]) if len(argv) > 1 else 224
+    K, C, outer = 25, 512, 4
+    rng = np.random.default_rng(0)
+
+    def graphs():
+        L, _ = city_graph(side, k=8, seed=0)
+        yield "city50k", L
+        z = rng.normal(size=(n_scatter, 8)).astype(np.float32)
+        dist, idx = gc.knn(z, k=10, algorithm="auto")
+        W = gc.adjacency(dist, idx)
+        perm = gc.bandwidth_reducing_permutation(W)
+        W = W[perm][:, perm].tocsr()
+        yield "scatter50k", gc.laplacian(W, normalized=True)
+
+    def make_chain(u):
+        @jax.jit
+        def chain(op, x):
+            def body(_, carry):
+                y = cheby_finals(op, carry, K)
+                s = jax.lax.rsqrt(
+                    jnp.mean(y.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (y * s).astype(x.dtype)
+
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return chain
+
+    for name, L in graphs():
+        op = device_laplacian(L, fmt="bsr", block_size=128,
+                              dtype=jnp.bfloat16, use_pallas=True)
+        nb = int(op.block_cols.shape[0])
+        print(f"{name}: nodes={op.m} nnz={op.nnz} blocks={nb} "
+              f"G={op.rows_per_step} Lg={op.group_max} "
+              f"overfetch={op.group_max * (op.m_padded // 128 // max(op.rows_per_step, 1)) / max(nb, 1):.2f}",
+              flush=True)
+        X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
+        if op.rows_per_step > 1:
+            variants = [
+                ("grouped", op),
+                ("per-block", dataclasses.replace(op, rows_per_step=1,
+                                                  group_max=0)),
+            ]
+        else:
+            variants = [("per-block", op)]  # grouping refused (VMEM/hub)
+        for vname, o in variants:
+            per_block, _f = slope_time(make_chain, (o, X),
+                                       units=(outer, 4 * outer))
+            dt = per_block / (K - 1)
+            print(f"  {vname:9s} {dt*1e6:8.1f} us/spmm "
+                  f"{op.nnz/dt/1e9:.4f} Gedges/s  "
+                  f"{dt/nb*1e9:6.1f} ns/block", flush=True)
+
+
 def main_band(argv):
     """A/B: banded-kernel G (block-rows per grid step) and layout for the
     int8 serving chain.  Host-side fill analysis shows ragged G=8 keeps
@@ -419,6 +504,160 @@ def main_band(argv):
                   else op.band.shape[0] * op.band.shape[1])
         print(f"{name:11s} G={G:2d} blocks={blocks:5d} "
               f"ring={op.ring_slots:3d} {dt*1e6:7.1f} us/spmm "
+              f"{op.nnz/dt/1e9:.4f} Gedges/s", flush=True)
+
+
+def main_dkw(argv):
+    """A/B the deep-K window kernel (one wide [br, W*bc] dot per
+    block-row, contiguous x window via mirrored ring slots) against the
+    shipped tap-loop ragged kernel on the 50k donated chains — VERDICT
+    round-4 next-step #1: the slope-fit mxu probe says the deep-K dot
+    shape runs ~10% faster for int8 (311 vs 283.6 TOP/s) and the
+    tap-loop per-dot issue overhead is the prime suspect for the
+    in-kernel gap (189.3 measured vs 167 tap-bound us/spmm)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.ops import (
+        cheby_finals,
+        device_laplacian,
+        quantize_banded,
+    )
+    from cnn_graph_tpu.ops.pallas_band import (
+        banded_call_dkw,
+        pack_dkw_from_ragged,
+    )
+    from cnn_graph_tpu.utils.profiling import slope_time
+
+    side = int(argv[0]) if argv else 224
+    K, C, outer = 25, 512, 4
+    L, _ = city_graph(side, k=8, seed=0)
+    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16)
+    qop = quantize_banded(op, sample_x=3.0)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
+
+    def dkw_parts(o):
+        bands, sched = pack_dkw_from_ragged(
+            np.asarray(jax.device_get(o.band)), o.sched, o.levels,
+            o.rows_per_step, *o.block_shape,
+        )
+        return [jnp.asarray(b) for b in bands], jnp.asarray(sched)
+
+    bands_q, sched_q = dkw_parts(qop)
+    bands_f, sched_f = dkw_parts(op)
+
+    def make_current_q(u):
+        @jax.jit
+        def chain(qop, x):
+            xq = qop.quantize(x.astype(jnp.float32))
+            out = jax.lax.fori_loop(
+                0, u, lambda _, q: cheby_finals(qop, q, K), xq
+            )
+            return jnp.mean(qop.dequantize(out) ** 2)
+
+        return chain
+
+    def make_current_f(u):
+        @jax.jit
+        def chain(op, x):
+            def body(_, carry):
+                y = cheby_finals(op, carry, K)
+                s = jax.lax.rsqrt(
+                    jnp.mean(y.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (y * s).astype(x.dtype)
+
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return chain
+
+    def dkw_finals(o, bands, sched, x, quant):
+        """cheby_finals twin through the dkw kernel (donated hops)."""
+        def hop(x1, x0):
+            return banded_call_dkw(
+                bands, o.base, sched, x1, x0, levels=o.levels,
+                ring=o.ring_slots, G=o.rows_per_step,
+                out_rows=o.m_padded,
+                band_scale=(o.band_scale if quant else None),
+                donate_x0=True,
+            )
+
+        def first(x1):
+            return banded_call_dkw(
+                bands, o.base, sched, x1, levels=o.levels,
+                ring=o.ring_slots, G=o.rows_per_step,
+                out_rows=o.m_padded,
+                band_scale=(o.band_scale if quant else None),
+            )
+
+        p, q = x, first(x)
+        n = K - 2
+
+        def body(_, carry):
+            pp, qq = carry
+            r = hop(qq, pp)
+            s = hop(r, qq)
+            return r, s
+
+        p, q = jax.lax.fori_loop(0, n // 2, body, (p, q))
+        if n % 2:
+            q = hop(q, p)
+        return q
+
+    def make_dkw_q(u):
+        @jax.jit
+        def chain(qop, bands, sched, x):
+            xq = qop.quantize(x.astype(jnp.float32))
+            out = jax.lax.fori_loop(
+                0, u,
+                lambda _, q: dkw_finals(qop, bands, sched, q, True), xq
+            )
+            return jnp.mean(qop.dequantize(out) ** 2)
+
+        return chain
+
+    def make_dkw_f(u):
+        @jax.jit
+        def chain(op, bands, sched, x):
+            def body(_, carry):
+                y = dkw_finals(op, bands, sched, carry, False)
+                s = jax.lax.rsqrt(
+                    jnp.mean(y.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (y * s).astype(x.dtype)
+
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return chain
+
+    # Correctness on-chip first (scalar agreement over one K-chain).
+    @jax.jit
+    def agree(qop, bands, sched, x):
+        xq = qop.quantize(x.astype(jnp.float32))
+        a = cheby_finals(qop, xq, K)
+        b = dkw_finals(qop, bands, sched, xq, True)
+        return jnp.max(jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32)))
+
+    d = int(jax.device_get(agree(qop, bands_q, sched_q, X)))
+    print(f"int8 K={K} chain dkw-vs-tap maxdiff: {d} (bit-exact=0)",
+          flush=True)
+
+    for name, mk, args in (
+        ("tap_int8", make_current_q, (qop, X)),
+        ("dkw_int8", make_dkw_q, (qop, bands_q, sched_q, X)),
+        ("tap_bf16", make_current_f, (op, X)),
+        ("dkw_bf16", make_dkw_f, (op, bands_f, sched_f, X)),
+    ):
+        per_block, _f = slope_time(mk, args, units=(outer, 4 * outer))
+        dt = per_block / (K - 1)
+        print(f"{name:9s} {dt*1e6:7.1f} us/spmm "
               f"{op.nnz/dt/1e9:.4f} Gedges/s", flush=True)
 
 
@@ -592,7 +831,11 @@ def _print_trace_table(log_dir, top=18):
 def main_tracetrain(argv):
     """Trace ONE 50k NodeClassifier train step (fwd chain + streamed
     taps/dW + adam) and print the device-op table — the attribution
-    behind DESIGN.md §18's train-step anatomy."""
+    behind DESIGN.md §18's train-step anatomy.  A second argument sets
+    hidden widths (comma-separated, e.g. ``tracetrain 224 512``): every
+    layer past the first pays the K-1-hop backward ADJOINT chain
+    (band_cheby_hop_c), so the deep trace attributes adjoint-hop cost
+    vs the forward hop (DESIGN.md §20)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -604,13 +847,15 @@ def main_tracetrain(argv):
     from cnn_graph_tpu.utils.profiling import trace
 
     side = int(argv[0]) if argv else 224
+    hidden = ([int(v) for v in argv[1].split(",")]
+              if len(argv) > 1 and argv[1] else [])
     K, C, n_classes = 25, 512, 16
     L, _ = city_graph(side, k=8, seed=0)
     op = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
     rng = np.random.default_rng(2)
     m = op.m_padded
     model = NodeClassifier(op, input_features=C, num_classes=n_classes,
-                           hidden=[], K=K)
+                           hidden=hidden, K=K)
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)
     state = opt.init(params)
@@ -625,8 +870,9 @@ def main_tracetrain(argv):
         return optax.apply_updates(params, up), state, loss
 
     out = step(op, params, state, feats, y, mask)
-    print("warm loss:", float(jax.device_get(out[2])), flush=True)
-    log_dir = argv[1] if len(argv) > 1 else "/tmp/cnn_graph_trace_train"
+    print(f"warm loss: {float(jax.device_get(out[2]))} "
+          f"(hidden={hidden})", flush=True)
+    log_dir = argv[2] if len(argv) > 2 else "/tmp/cnn_graph_trace_train"
     with trace(log_dir):
         s = float(jax.device_get(
             step(op, params, state, feats, y, mask)[2]
@@ -807,10 +1053,10 @@ def main_scatter(argv):
 
 
 MODES = {"peak": main_peak, "mxu": main_mxu, "pred": main_pred,
-         "bsr": main_bsr, "band": main_band, "pa": main_pa,
-         "trace": main_trace, "tracetrain": main_tracetrain,
-         "serve": main_serve, "serveload": main_serveload,
-         "scatter": main_scatter}
+         "bsr": main_bsr, "bsrgroup": main_bsrgroup, "band": main_band,
+         "dkw": main_dkw, "pa": main_pa, "trace": main_trace,
+         "tracetrain": main_tracetrain, "serve": main_serve,
+         "serveload": main_serveload, "scatter": main_scatter}
 
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in MODES:

@@ -738,3 +738,86 @@ class TestPrefetchAhead:
             out_rows=uop.m_padded, interpret=True, prefetch_ahead=2))
         want = np.asarray(uop.matmul(x))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestDeepKWindow:
+    """The deep-K window kernel variant (banded_call_dkw): one wide
+    [br, W_l*bc] MXU dot per block-row from a contiguous x window
+    (mirrored ring slots), replacing W_l separate taps.  Must be
+    bit-exact (int8) / accumulation-equal (float) with the ragged
+    tap-loop kernel's XLA oracle."""
+
+    @pytest.fixture(scope="class")
+    def ragged_op(self):
+        from cnn_graph_tpu.data.synthetic import city_graph
+
+        L, _ = city_graph(96, k=8, seed=0)  # 9216 nodes, 3 levels
+        return device_laplacian(L, fmt="banded", dtype=jnp.float32,
+                                use_pallas=False)
+
+    def _dkw_parts(self, o):
+        from cnn_graph_tpu.ops.pallas_band import pack_dkw_from_ragged
+
+        bands, sched = pack_dkw_from_ragged(
+            np.asarray(o.band), o.sched, o.levels, o.rows_per_step,
+            *o.block_shape,
+        )
+        return [jnp.asarray(b) for b in bands], jnp.asarray(sched)
+
+    def test_float_spmm_and_hop(self, ragged_op):
+        from cnn_graph_tpu.ops.pallas_band import banded_call_dkw
+
+        op = ragged_op
+        assert len(op.levels) >= 2, "fixture should be multi-level"
+        bands, sched = self._dkw_parts(op)
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.normal(size=(op.m_padded, 200)), jnp.float32)
+        X0 = jnp.asarray(rng.normal(size=X.shape), jnp.float32)
+        want = np.asarray(op.matmul(X))
+        got = np.asarray(banded_call_dkw(
+            bands, op.base, sched, X, levels=op.levels,
+            ring=op.ring_slots, G=op.rows_per_step,
+            out_rows=op.m_padded, interpret=True,
+        ))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        goth = np.asarray(banded_call_dkw(
+            bands, op.base, sched, X, X0, levels=op.levels,
+            ring=op.ring_slots, G=op.rows_per_step,
+            out_rows=op.m_padded, interpret=True,
+        ))
+        np.testing.assert_allclose(goth, 2 * got - np.asarray(X0),
+                                   atol=1e-4)
+
+    def test_quant_bit_exact_and_c_injection(self, ragged_op):
+        import dataclasses
+
+        from cnn_graph_tpu.ops import quantize_banded
+        from cnn_graph_tpu.ops.pallas_band import banded_call_dkw
+
+        q = quantize_banded(ragged_op, sample_x=3.0)
+        q_fb = dataclasses.replace(q, use_pallas=False)
+        bands, sched = self._dkw_parts(q)
+        rng = np.random.default_rng(1)
+        X = jnp.asarray(rng.normal(size=(q.m_padded, 256)), jnp.float32)
+        xq, x0q = q.quantize(X), q.quantize(X * 0.5)
+        got = np.asarray(banded_call_dkw(
+            bands, q.base, sched, xq, x0q, levels=q.levels,
+            ring=q.ring_slots, G=q.rows_per_step, out_rows=q.m_padded,
+            band_scale=q.band_scale, interpret=True,
+        ))
+        want = np.asarray(q_fb.cheby_hop_q(xq, x0q))
+        assert np.array_equal(got, want)
+
+        # Float hop with the adjoint-chain c injection.
+        op = ragged_op
+        bands_f, sched_f = self._dkw_parts(op)
+        C = jnp.asarray(rng.normal(size=X.shape), jnp.float32)
+        X0 = X * 0.25
+        got_c = np.asarray(banded_call_dkw(
+            bands_f, op.base, sched_f, X, X0, C, levels=op.levels,
+            ring=op.ring_slots, G=op.rows_per_step,
+            out_rows=op.m_padded, interpret=True,
+        ))
+        want_c = 2 * np.asarray(op.matmul(X)) - np.asarray(X0) \
+            + np.asarray(C)
+        np.testing.assert_allclose(got_c, want_c, atol=1e-4)

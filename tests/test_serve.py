@@ -147,9 +147,10 @@ class TestExportLoad:
                                  str(tmp_path / "nope"))
 
     def test_int8_meta_reflects_actual_conversion(self, tmp_path):
-        """A dense-operator model passes through quantize unchanged; the
-        artifact metadata must say int8=False even though it was
-        requested (plus the request and the converted count)."""
+        """Round 5: DENSE operators now have an int8 twin (the 20NEWS
+        auto-format, DESIGN.md §17/§20), so a dense-operator model
+        converts and the metadata must record it; a BCOO model still
+        passes through unchanged and the metadata must say so."""
         z = gc.grid(12)
         W = gc.knn_graph(z, k=8)
         L = gc.laplacian(W, normalized=True)
@@ -162,9 +163,21 @@ class TestExportLoad:
         d = str(tmp_path / "dense")
         serve.export_serving(model, params, x, d, int8=True)
         ls = serve.load_serving(d)
-        assert ls.meta["int8"] is False
+        assert ls.meta["int8"] is True
         assert ls.meta["int8_requested"] is True
-        assert ls.meta["quantized_operators"] == 0
+        assert ls.meta["quantized_operators"] == 1
+
+        # BCOO (CPU-test fallback format) has no twin: pass-through.
+        opb = device_laplacian(L, fmt="bcoo")
+        modelb = NodeClassifier(opb, input_features=4, num_classes=3,
+                                hidden=[], K=3)
+        db = str(tmp_path / "bcoo")
+        serve.export_serving(modelb, model.init(jax.random.PRNGKey(6)),
+                             x[: opb.m_padded], db, int8=True)
+        lsb = serve.load_serving(db)
+        assert lsb.meta["int8"] is False
+        assert lsb.meta["int8_requested"] is True
+        assert lsb.meta["quantized_operators"] == 0
 
     def test_forecaster_exports(self, tmp_path):
         """The forecasting family (GConvLSTM variants) shares the
