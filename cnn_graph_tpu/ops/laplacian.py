@@ -153,9 +153,10 @@ class DenseLaplacian(ChebyHopMixin):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["blocks", "block_rows", "block_cols", "block_rowptr"],
+    data_fields=["blocks", "block_rows", "block_cols", "block_rowptr",
+                 "cs_meta", "cs_gcols", "cs_gcolptr"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas",
-                 "row_max", "rows_per_step", "group_max"],
+                 "row_max", "rows_per_step", "group_max", "col_stream"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockSparseLaplacian(ChebyHopMixin):
@@ -197,6 +198,19 @@ class BlockSparseLaplacian(ChebyHopMixin):
     # pipeline at ~6-7 blocks/row (DESIGN.md §10/§17 "246 ns/block").
     rows_per_step: int = 1
     group_max: int = 0
+    # Column-streamed mode (the scattered-graph kernel): blocks are
+    # reordered (column, row) WITHIN each G-row group and each distinct
+    # column's x tile is fetched once per group — x traffic drops from
+    # O(blocks) to O(groups x distinct-cols), the dominant HBM cost of
+    # scattered BSR (13.0 ms/spmm measured per-block at 50k
+    # embedding-kNN).  block_rows is then NOT sorted within groups
+    # (fallbacks use an unsorted segment_sum); block_rowptr stays valid
+    # at group boundaries only.  cs_* carry the kernel metadata
+    # (ops.laplacian.colstream_order).
+    col_stream: bool = False
+    cs_meta: jax.Array | None = None
+    cs_gcols: jax.Array | None = None
+    cs_gcolptr: jax.Array | None = None
 
     @property
     def block_size(self):  # square-block compatibility accessor
@@ -209,7 +223,8 @@ class BlockSparseLaplacian(ChebyHopMixin):
     def cheby_hop(self, x1: jax.Array, x0: jax.Array, *,
                   donate: bool = False) -> jax.Array:
         del donate
-        if self.use_pallas and self.rows_per_step > 1:
+        if self.use_pallas and (self.rows_per_step > 1
+                                or self.col_stream):
             from cnn_graph_tpu.ops.pallas_spmm import bsr_cheby_hop
 
             return bsr_cheby_hop(self, x1, x0)
@@ -234,7 +249,7 @@ class BlockSparseLaplacian(ChebyHopMixin):
         )
         yb = jax.ops.segment_sum(
             partial, self.block_rows, num_segments=n_row_blocks,
-            indices_are_sorted=True,
+            indices_are_sorted=not self.col_stream,
         )
         return yb.reshape(x.shape).astype(x.dtype)
 
@@ -267,7 +282,7 @@ def _ragged_fallback_windows(band, base, sched, levels, G, block_shape,
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["band", "base"],
+    data_fields=["band", "base", "bands_dkw", "sched_dkw"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "ring_slots",
                  "rows_per_step", "use_pallas", "sched", "levels"],
 )
@@ -308,6 +323,15 @@ class BandedLaplacian(ChebyHopMixin):
     use_pallas: bool
     sched: tuple = ()   # ragged: ((off...), (lvl_idx...), (hiwater...))
     levels: tuple = ()  # ragged: ascending distinct super-step widths
+    # Deep-K window layout (the default Pallas path when present): one
+    # array per width level, [n_rows_l, br, W_l*bc] — each block-row's
+    # blocks side by side in the LANE dim, so the kernel issues ONE
+    # wide MXU dot per row instead of W_l taps (measured +10% int8 on
+    # the 50k chain, bit-exact; DESIGN.md §20).  sched_dkw row 0 holds
+    # per-level ROW offsets (rows 1-2 as in ``sched``).  The flat
+    # ``band`` stays as the oracle/fallback layout.
+    bands_dkw: tuple | None = None
+    sched_dkw: jax.Array | None = None
 
     @property
     def band_width(self):
@@ -375,7 +399,7 @@ class BCOOLaplacian(ChebyHopMixin):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["band", "base"],
+    data_fields=["band", "base", "bands_dkw", "sched_dkw"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "ring_slots",
                  "rows_per_step", "use_pallas", "band_scale", "act_scale",
                  "headroom", "sched", "levels"],
@@ -419,6 +443,8 @@ class QuantBandedLaplacian(QuantOpMixin):
     headroom: float = 2.0  # saturation margin for recurrence carries
     sched: tuple = ()   # ragged schedule (see BandedLaplacian)
     levels: tuple = ()
+    bands_dkw: tuple | None = None  # deep-K window layout (see float twin)
+    sched_dkw: jax.Array | None = None
 
     @property
     def band_width(self):
@@ -428,9 +454,16 @@ class QuantBandedLaplacian(QuantOpMixin):
               donate: bool = False) -> jax.Array:
         if self.use_pallas:
             from cnn_graph_tpu.ops.pallas_band import (
-                banded_call, banded_call_ragged,
+                banded_call, banded_call_dkw, banded_call_ragged,
             )
 
+            if self.bands_dkw is not None:
+                return banded_call_dkw(
+                    self.bands_dkw, self.base, self.sched_dkw, x_q,
+                    x0_q, levels=self.levels, ring=self.ring_slots,
+                    G=self.rows_per_step, out_rows=self.m_padded,
+                    band_scale=self.band_scale, donate_x0=donate,
+                )
             if self.levels:
                 return banded_call_ragged(
                     self.band, self.base,
@@ -598,10 +631,11 @@ def quantize_dense(op: DenseLaplacian, headroom: float = 2.0,
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["blocks", "block_rows", "block_cols", "block_rowptr"],
+    data_fields=["blocks", "block_rows", "block_cols", "block_rowptr",
+                 "cs_meta", "cs_gcols", "cs_gcolptr"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas",
                  "block_scale", "act_scale", "headroom", "row_max",
-                 "rows_per_step", "group_max"],
+                 "rows_per_step", "group_max", "col_stream"],
 )
 @dataclasses.dataclass(frozen=True)
 class QuantBlockSparseLaplacian(QuantOpMixin):
@@ -628,6 +662,10 @@ class QuantBlockSparseLaplacian(QuantOpMixin):
     row_max: int = 0
     rows_per_step: int = 1  # grouped-row kernel G (see BlockSparse twin)
     group_max: int = 0
+    col_stream: bool = False  # column-streamed layout (see float twin)
+    cs_meta: jax.Array | None = None
+    cs_gcols: jax.Array | None = None
+    cs_gcolptr: jax.Array | None = None
 
     @property
     def block_size(self):
@@ -646,12 +684,12 @@ class QuantBlockSparseLaplacian(QuantOpMixin):
         )
         acc = jax.ops.segment_sum(
             partial, self.block_rows, num_segments=n_row_blocks,
-            indices_are_sorted=True,
+            indices_are_sorted=not self.col_stream,
         )
         return acc.reshape(x_q.shape)
 
     def _call(self, x_q: jax.Array, x0_q: jax.Array | None) -> jax.Array:
-        if self.use_pallas and self.group_max > 0:
+        if self.use_pallas and (self.group_max > 0 or self.col_stream):
             from cnn_graph_tpu.ops.pallas_spmm import bsr_call_quant
 
             return bsr_call_quant(self, x_q, x0_q)
@@ -694,6 +732,10 @@ def quantize_block_sparse(op: BlockSparseLaplacian, headroom: float = 2.0,
         row_max=op.row_max,
         rows_per_step=op.rows_per_step,
         group_max=op.group_max,
+        col_stream=op.col_stream,
+        cs_meta=op.cs_meta,
+        cs_gcols=op.cs_gcols,
+        cs_gcolptr=op.cs_gcolptr,
     )
 
 
@@ -713,9 +755,19 @@ def quantize_banded(op: BandedLaplacian, headroom: float = 2.0,
     if s_b == 0.0:
         s_b = 1.0
     band_q = np.clip(np.round(band / s_b), -127, 127).astype(np.int8)
+    bands_dkw, sched_dkw = None, None
+    if op.use_pallas and op.levels:
+        from cnn_graph_tpu.ops.pallas_band import pack_dkw_from_ragged
+
+        bd, sd = pack_dkw_from_ragged(band_q, op.sched, op.levels,
+                                      op.rows_per_step, *op.block_shape)
+        bands_dkw = tuple(jnp.asarray(b) for b in bd)
+        sched_dkw = jnp.asarray(sd)
     return QuantBandedLaplacian(
         band=jnp.asarray(band_q),
         base=op.base,
+        bands_dkw=bands_dkw,
+        sched_dkw=sched_dkw,
         m=op.m,
         m_padded=op.m_padded,
         nnz=op.nnz,
@@ -791,7 +843,8 @@ def auto_rows_per_step(base, W: int, br: int, bc: int,
     def vmem_est(g):
         return (
             2 * g * W * br * bc * elem_bytes           # band slabs
-            + ring_span(base, W, g) * bc * tc_est * act_bytes
+            # x ring; +W-1 mirrored slots for the deep-K window layout
+            + (ring_span(base, W, g) + W - 1) * bc * tc_est * act_bytes
             + 4 * g * br * tc_est * act_bytes          # y + x0 blocks
         )
 
@@ -1026,6 +1079,54 @@ def pack_block_sparse(L: scipy.sparse.spmatrix,
     return blocks, brows, (unique_ids % n_cb).astype(np.int32), rowptr, mp_r
 
 
+COLSTREAM_CHUNK = 64  # block slab sub-chunk (double-buffered DMA unit)
+
+
+def colstream_order(rowptr: np.ndarray, brows: np.ndarray,
+                    bcols: np.ndarray, G: int):
+    """Column-streamed block ordering + kernel metadata for scattered
+    BSR (the x-reuse kernel, ops/pallas_spmm._kernel_colstream).
+
+    Per-block x-tile fetches are the dominant HBM traffic of scattered
+    BSR (measured 13.0 ms/spmm at 50k embedding-kNN — 6.8 GB of x
+    tiles per SpMM, each fetched once PER BLOCK).  Reordering each
+    G-row group's blocks by (column, row) lets the kernel fetch each
+    DISTINCT column's x tile once per group and reuse it across the
+    group's rows — x traffic drops from O(blocks) to
+    O(groups x distinct-cols).
+
+    Returns ``(perm, meta, gcols, gcolptr)``:
+
+    * ``perm``   — block permutation (within-group only; group
+      boundaries ``rowptr[s*G]`` stay valid);
+    * ``meta[b]`` — packed int32 ``(row_within_group << 16) |
+      local_distinct_col_index`` for the permuted block ``b``;
+    * ``gcols`` — flat per-group distinct column lists;
+    * ``gcolptr`` — [n_groups + 1] offsets into ``gcols``.
+    """
+    n_rb = len(rowptr) - 1
+    nsb = n_rb // G
+    assert n_rb % G == 0
+    perm = np.arange(len(brows), dtype=np.int64)
+    meta = np.zeros(len(brows), np.int32)
+    gcols_parts = []
+    gcolptr = np.zeros(nsb + 1, np.int64)
+    for s in range(nsb):
+        lo, hi = int(rowptr[s * G]), int(rowptr[(s + 1) * G])
+        idx = np.arange(lo, hi)
+        order = np.lexsort((brows[idx], bcols[idx]))
+        p = idx[order]
+        perm[lo:hi] = p
+        cols = bcols[p]
+        uniq, local = np.unique(cols, return_inverse=True)
+        meta[lo:hi] = ((brows[p] - s * G) << 16) | local
+        gcols_parts.append(uniq)
+        gcolptr[s + 1] = gcolptr[s] + len(uniq)
+    gcols = (np.concatenate(gcols_parts) if gcols_parts
+             else np.zeros(0, np.int64))
+    return perm, meta, gcols.astype(np.int32), gcolptr.astype(np.int32)
+
+
 def choose_bsr_row_group(rowptr: np.ndarray, br: int, bc: int,
                          elem_bytes: int, budget: int = 6 << 20,
                          max_overfetch: float = 1.35,
@@ -1073,6 +1174,7 @@ def device_laplacian(
     ragged: bool = True,
     act_bytes: int | None = None,
     dense_budget: int = 2 << 30,
+    col_stream: bool | None = None,
 ) -> LaplacianOperator:
     """Build a device operator for the (rescaled) Laplacian.
 
@@ -1175,6 +1277,14 @@ def device_laplacian(
                 band_dtype=np.dtype(dtype),
             )
             sched, levels = (), ()
+        bands_dkw, sched_dkw = None, None
+        if use_pallas and levels:
+            from cnn_graph_tpu.ops.pallas_band import pack_dkw_from_ragged
+
+            bd, sd = pack_dkw_from_ragged(band, sched, levels, G,
+                                          *block_shape)
+            bands_dkw = tuple(jnp.asarray(b, dtype=dtype) for b in bd)
+            sched_dkw = jnp.asarray(sd)
         return BandedLaplacian(
             band=jnp.asarray(band, dtype=dtype),
             base=jnp.asarray(base),
@@ -1187,6 +1297,8 @@ def device_laplacian(
             use_pallas=use_pallas,
             sched=sched,
             levels=levels,
+            bands_dkw=bands_dkw,
+            sched_dkw=sched_dkw,
         )
 
     if fmt == "bsr":
@@ -1212,6 +1324,54 @@ def device_laplacian(
         counts = np.diff(rowptr)
         row_max = int(counts.max()) if len(counts) else 0
         mean_cnt = float(counts.mean()) if len(counts) else 0.0
+        if col_stream is None:
+            # Measured (DESIGN.md §20): x-tile reuse alone moved NOTHING
+            # on chip (city 989 vs grouped 977 us/spmm; scatter 13355 vs
+            # 13096) — the per-block cost is loop-body bookkeeping, not
+            # DMA traffic.  Column-streaming is kept opt-in as the
+            # substrate for the unrolled body (which does attack that
+            # cost); the grouped slab kernel stays the default.
+            col_stream = False
+        if col_stream and use_pallas and len(counts):
+            G_cs = min(8, max(len(counts), 1))
+            mp = _round_up(mp, int(np.lcm(G_cs * block_shape[0],
+                                          block_shape[1])))
+            n_rb = mp // block_shape[0]
+            rowptr = np.concatenate(
+                [rowptr,
+                 np.full(n_rb + 1 - len(rowptr), rowptr[-1],
+                         rowptr.dtype)]
+            )
+            perm, cs_meta, cs_gcols, cs_gcolptr = colstream_order(
+                rowptr, brows, bcols, G_cs
+            )
+            blocks = blocks[perm]
+            brows = brows[perm]
+            bcols = bcols[perm]
+            blocks = np.concatenate(
+                [blocks,
+                 np.zeros((COLSTREAM_CHUNK,) + blocks.shape[1:],
+                          blocks.dtype)]
+            )
+            cs_meta = np.concatenate(
+                [cs_meta, np.zeros(COLSTREAM_CHUNK, cs_meta.dtype)]
+            )
+            return BlockSparseLaplacian(
+                blocks=jnp.asarray(blocks, dtype=dtype),
+                block_rows=jnp.asarray(brows),
+                block_cols=jnp.asarray(bcols),
+                block_rowptr=jnp.asarray(rowptr),
+                m=m,
+                m_padded=mp,
+                nnz=nnz,
+                block_shape=block_shape,
+                use_pallas=use_pallas,
+                rows_per_step=G_cs,
+                col_stream=True,
+                cs_meta=jnp.asarray(cs_meta),
+                cs_gcols=jnp.asarray(cs_gcols),
+                cs_gcolptr=jnp.asarray(cs_gcolptr),
+            )
         if chunked_rows and row_max > 0 and row_max <= max(
             4.0 * mean_cnt, 8.0
         ):

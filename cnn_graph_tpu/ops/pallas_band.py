@@ -685,7 +685,16 @@ def _band_call(L, x, x0, col_tile, interpret, c=None, donate=False):
     x0 = None if x0 is None else x0.astype(cdt)
     c = None if c is None else c.astype(cdt)
 
-    if getattr(L, "levels", ()):
+    if getattr(L, "bands_dkw", None) is not None:
+        # Deep-K window layout: one wide MXU dot per block-row
+        # (+10% int8 over the tap loop, measured; DESIGN.md §20).
+        y = banded_call_dkw(
+            L.bands_dkw, L.base, L.sched_dkw, x, x0, c,
+            levels=L.levels, ring=L.ring_slots, G=L.rows_per_step,
+            out_rows=L.m_padded, col_tile=col_tile,
+            interpret=interpret, donate_x0=donate,
+        )
+    elif getattr(L, "levels", ()):
         import numpy as np
 
         y = banded_call_ragged(

@@ -126,6 +126,186 @@ def _kernel_grouped(row_ptr_ref, cols_ref, blocks_ref, x_ref, *rest,
         _emit_row(y_ref, x0_ref, None, acc, g, br, hop, quant, band_scale)
 
 
+def _kernel_colstream(rowptr_ref, meta_ref, gcols_ref, gcolptr_ref,
+                      blocks_ref, x_ref, *rest, br, bc, tc, G, CH,
+                      hop, band_scale):
+    """Column-streamed grouped BSR: x-tile REUSE across a row-group.
+
+    The per-block pipeline fetches one x tile PER BLOCK — at 50k-node
+    embedding-kNN scale that is 6.8 GB of HBM per SpMM and the whole
+    13.0 ms/spmm cost (measured; the kernel runs near the roofline of
+    that traffic pattern).  Here each G-row group's blocks are ordered
+    by (column, row) host-side (``ops.laplacian.colstream_order``), so
+    each DISTINCT column's x tile is fetched once per group and reused
+    by every block in that column — x traffic drops from O(blocks) to
+    O(groups x distinct-cols).  Blocks stream as fixed ``CH``-block
+    contiguous sub-chunks (double-buffered); per-row accumulators live
+    in one ``[G*br, tc]`` VMEM scratch updated at the block's
+    row-within-group offset.
+
+    ``band_scale`` enables the int8 path; ``hop`` the fused Chebyshev
+    update — both folded into the single whole-group emission.
+    """
+    if hop:
+        x0_ref, y_ref, bchunk, xbuf, acc_ref, bsem, xsem = rest
+    else:
+        y_ref, bchunk, xbuf, acc_ref, bsem, xsem = rest
+        x0_ref = None
+    quant = band_scale is not None
+    acc_dt = jnp.int32 if quant else jnp.float32
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    lo = rowptr_ref[s * G]
+    hi = rowptr_ref[(s + 1) * G]
+    clo = gcolptr_ref[s]
+    chi = gcolptr_ref[s + 1]
+
+    def chunk_dma(k, slot):
+        return pltpu.make_async_copy(
+            blocks_ref.at[pl.ds(lo + k * CH, CH)], bchunk.at[slot],
+            bsem.at[slot],
+        )
+
+    def x_dma(ci, slot):
+        col = gcols_ref[ci]
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(col * bc, bc), pl.ds(j * tc, tc)],
+            xbuf.at[slot],
+            xsem.at[slot],
+        )
+
+    @pl.when(lo < hi)
+    def _():
+        chunk_dma(0, 0).start()
+
+    for d in range(NBUF - 1):
+        @pl.when(clo + d < chi)
+        def _(d=d):
+            x_dma(clo + d, jax.lax.rem(jnp.int32(d), NBUF)).start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(b, carry):
+        last_ci, cur_k = carry
+        r = b - lo
+        k = r // CH
+
+        # Entering a new block sub-chunk: wait it, start the next.
+        @pl.when(k > cur_k)
+        def _():
+            chunk_dma(k, jax.lax.rem(k, 2)).wait()
+
+            @pl.when((k + 1) * CH < hi - lo)
+            def _():
+                chunk_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        meta = meta_ref[b]
+        g = jax.lax.shift_right_logical(meta, 16)
+        ci = clo + (meta & 0xFFFF)
+
+        # Entering a new distinct column (ci advances by exactly 1):
+        # wait its x tile, start the lookahead tile.
+        @pl.when(ci > last_ci)
+        def _():
+            x_dma(ci, jax.lax.rem(ci - clo, NBUF)).wait()
+            ahead = ci + NBUF - 1
+
+            @pl.when(ahead < chi)
+            def _():
+                x_dma(ahead, jax.lax.rem(ahead - clo, NBUF)).start()
+
+        tap = jnp.dot(
+            bchunk[jax.lax.rem(k, 2), r - k * CH],
+            xbuf[jax.lax.rem(ci - clo, NBUF)],
+            preferred_element_type=acc_dt,
+        )
+        rows = pl.ds(g * br, br)
+        acc_ref[rows, :] += tap
+        return ci, k
+
+    jax.lax.fori_loop(lo, hi, body, (clo - 1, jnp.int32(-1)))
+
+    acc = acc_ref[:]
+    if quant:
+        y = band_scale * acc.astype(jnp.float32)
+        if hop:
+            y = 2.0 * y - x0_ref[:].astype(jnp.float32)
+        y_ref[:] = jnp.clip(jnp.round(y), -127.0, 127.0).astype(
+            y_ref.dtype
+        )
+    else:
+        if hop:
+            acc = 2.0 * acc - x0_ref[:].astype(jnp.float32)
+        y_ref[:] = acc.astype(y_ref.dtype)
+
+
+def _colstream_call(L, x, x0=None, col_tile: int = 512,
+                    interpret: bool = False,
+                    band_scale: float | None = None):
+    """Invoke the column-streamed kernel on a col_stream-packed
+    (Quant)BlockSparseLaplacian."""
+    from cnn_graph_tpu.ops.laplacian import COLSTREAM_CHUNK
+
+    br, bc = L.block_shape
+    mp = L.m_padded
+    G = L.rows_per_step
+    CH = COLSTREAM_CHUNK
+    nsb = mp // br // G
+    C = x.shape[1]
+    tc = min(col_tile, max(128, -(-C // 128) * 128))
+    cp = -(-C // tc) * tc
+    if cp != C:
+        x = jnp.pad(x, ((0, 0), (0, cp - C)))
+        if x0 is not None:
+            x0 = jnp.pad(x0, ((0, 0), (0, cp - C)))
+    hop = x0 is not None
+
+    row_block = pl.BlockSpec(
+        (G * br, tc), lambda s, j, *_: (s, j), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+    ]
+    if hop:
+        in_specs.append(row_block)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nsb, cp // tc),
+        in_specs=in_specs,
+        out_specs=row_block,
+        scratch_shapes=[
+            pltpu.VMEM((2, CH, br, bc), L.blocks.dtype),   # block chunks
+            pltpu.VMEM((NBUF, bc, tc), x.dtype),           # x-tile ring
+            pltpu.VMEM((G * br, tc),
+                       jnp.int32 if band_scale is not None
+                       else jnp.float32),                  # accumulators
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    nb = int(L.block_cols.shape[0])
+    operands = (L.block_rowptr, L.cs_meta, L.cs_gcols, L.cs_gcolptr,
+                L.blocks, x) + ((x0,) if hop else ())
+    y = pl.pallas_call(
+        functools.partial(_kernel_colstream, br=br, bc=bc, tc=tc, G=G,
+                          CH=CH, hop=hop, band_scale=band_scale),
+        out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * br * bc * cp,
+            bytes_accessed=(
+                nb * br * bc * L.blocks.dtype.itemsize
+                + (3 if hop else 2) * mp * cp * x.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+    )(*operands)
+    return y[:, :C]
+
+
 def _grouped_call(L, x, x0=None, col_tile: int = 512,
                   interpret: bool = False,
                   band_scale: float | None = None):
@@ -189,20 +369,27 @@ def _grouped_call(L, x, x0=None, col_tile: int = 512,
     return y[:, :C]
 
 
+def _bsr_apply(L, x, x0, col_tile, interpret):
+    """Route to the column-streamed or slab-grouped kernel by layout."""
+    if getattr(L, "col_stream", False):
+        return _colstream_call(L, x, x0, col_tile, interpret)
+    return _grouped_call(L, x, x0, col_tile, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def bsr_cheby_hop(L, x1: jax.Array, x0: jax.Array, col_tile: int = 512,
                   interpret: bool = False) -> jax.Array:
     """Fused Chebyshev hop ``y = 2 (L @ x1) - x0`` through the grouped
-    BSR kernel — one pass instead of SpMM + a separate 3-transfer XLA
-    elementwise update (the same fusion the banded kernel ships,
-    DESIGN.md §10).  Symmetric-adjoint VJP: ``dx1 = 2 L g``,
-    ``dx0 = -g``; the operator rides as a differentiable argument with
-    zero cotangents."""
-    return _grouped_call(L, x1, x0, col_tile, interpret)
+    or column-streamed BSR kernel — one pass instead of SpMM + a
+    separate 3-transfer XLA elementwise update (the same fusion the
+    banded kernel ships, DESIGN.md §10).  Symmetric-adjoint VJP:
+    ``dx1 = 2 L g``, ``dx0 = -g``; the operator rides as a
+    differentiable argument with zero cotangents."""
+    return _bsr_apply(L, x1, x0, col_tile, interpret)
 
 
 def _bsr_hop_fwd(L, x1, x0, col_tile, interpret):
-    return _grouped_call(L, x1, x0, col_tile, interpret), L
+    return _bsr_apply(L, x1, x0, col_tile, interpret), L
 
 
 def _bsr_hop_bwd(col_tile, interpret, L, g):
@@ -222,6 +409,9 @@ def bsr_call_quant(L, x_q: jax.Array, x0_q: jax.Array | None = None,
     int8 tiles x int8 activations, int32 accumulation, dequant/requant
     at emission in input-scale units (same arithmetic as the XLA
     fallback in ops/laplacian.py, bit-exactly).  Inference-only."""
+    if getattr(L, "col_stream", False):
+        return _colstream_call(L, x_q, x0_q, col_tile, interpret,
+                               band_scale=L.block_scale)
     return _grouped_call(L, x_q, x0_q, col_tile, interpret,
                          band_scale=L.block_scale)
 
@@ -382,6 +572,10 @@ def _bsr_bwd(col_tile, interpret, L, g):
 
 def _bsr_spmm_impl(L, x: jax.Array, col_tile: int = 512,
                    interpret: bool = False) -> jax.Array:
+    if getattr(L, "col_stream", False):
+        # Column-streamed kernel: x-tile reuse across each row-group
+        # (see _kernel_colstream) — the scattered-graph path.
+        return _colstream_call(L, x, None, col_tile, interpret)
     if getattr(L, "rows_per_step", 1) > 1:
         # Grouped-row slab kernel: amortizes per-block fixed costs over
         # G block-rows per grid step (see _kernel_grouped).

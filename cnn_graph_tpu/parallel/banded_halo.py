@@ -753,6 +753,7 @@ def banded_halo_laplacian(
     use_pallas: bool | None = None,
     max_band_width: int = 48,
     ragged: bool = True,
+    force_boundary: int = 0,
 ) -> BandedHaloLaplacian:
     """Build the row-sharded banded operator over ``mesh``'s 'nodes' axis.
 
@@ -860,6 +861,14 @@ def banded_halo_laplacian(
     )
     pre = _round_up(pre, G)
     suf = _round_up(suf, G)
+    if force_boundary:
+        # Test hook (ADVICE round-4 #5): force a non-trivial
+        # prefix/interior/suffix split even when halos are empty (e.g.
+        # nodes=1), so the multi-region ragged Pallas passes are
+        # exercisable on a single real chip.  Results are identical by
+        # construction (per-row arithmetic does not depend on the
+        # split); see `_probe.py raggedshard`.
+        pre = suf = max(pre, suf, _round_up(force_boundary, G))
     overlap = pre + suf < nbr_s and (pre > 0 or suf > 0)
     if not overlap:
         pre = suf = 0

@@ -369,6 +369,76 @@ def main_bsr(argv):
               f"{op.nnz/dt/1e9:.3f} Gedges/s", flush=True)
 
 
+def main_loopcost(argv):
+    """Isolate the per-iteration cost of a dynamic ``fori_loop`` body
+    in a Pallas kernel (the BSR kernels' structure): same total MXU
+    dots, issued (a) one per fori iteration with dynamic VMEM operand
+    indices, (b) eight per iteration (static unroll inside a dynamic
+    loop).  The gap is the scalar-core loop/bookkeeping overhead per
+    iteration — the prime suspect for scattered BSR's flat
+    ~250 ns/block (x-reuse and slab-DMA strategies both measured
+    no-ops; DESIGN.md §20)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cnn_graph_tpu.utils.profiling import slope_time
+
+    iters = int(argv[0]) if argv else 4096
+    T, m, k, n = 16, 128, 128, 512
+    dt = jnp.bfloat16
+
+    def make_run(unroll):
+        def makek(u):
+            def kernel(a_ref, b_ref, o_ref, acc_ref):
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+                def body(i, carry):
+                    base = jax.lax.rem(i * unroll, T)
+                    for d in range(unroll):
+                        idx = jax.lax.rem(base + d, T)
+                        acc_ref[:] += jnp.dot(
+                            a_ref[idx], b_ref[idx],
+                            preferred_element_type=jnp.float32,
+                        )
+                    return carry
+
+                jax.lax.fori_loop(0, u // unroll, body, 0)
+                o_ref[:] = acc_ref[:].astype(dt)
+
+            @jax.jit
+            def run(a, b):
+                o = pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((m, n), dt),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                    scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
+                )(a, b)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            return run
+
+        return makek
+
+    a = jnp.ones((T, m, k), dt) * 0.01
+    b = jnp.ones((T, k, n), dt) * 0.01
+    flops = 2 * m * k * n
+    res = {}
+    for unroll in (1, 2, 4, 8):
+        per_iter, _f = slope_time(make_run(unroll), (a, b),
+                                  units=(max(iters // 4, 2), iters))
+        per_dot = per_iter
+        res[unroll] = per_dot
+        print(f"unroll={unroll}: {per_dot*1e9:7.1f} ns/dot "
+              f"{flops/per_dot/1e12:6.1f} TFLOP/s", flush=True)
+    if 1 in res and 8 in res:
+        ov = (res[1] - res[8]) * 8 / 7
+        print(f"=> per-fori-iteration overhead ~ {ov*1e9:.0f} ns "
+              f"(amortized-away fraction at unroll 8)", flush=True)
+
+
 def main_bsrgroup(argv):
     """A/B the grouped-row BSR kernel (G block-rows per grid step, one
     slab DMA) against the per-block pipeline — VERDICT round-4
@@ -420,28 +490,36 @@ def main_bsrgroup(argv):
         return chain
 
     for name, L in graphs():
-        op = device_laplacian(L, fmt="bsr", block_size=128,
-                              dtype=jnp.bfloat16, use_pallas=True)
-        nb = int(op.block_cols.shape[0])
-        print(f"{name}: nodes={op.m} nnz={op.nnz} blocks={nb} "
-              f"G={op.rows_per_step} Lg={op.group_max} "
-              f"overfetch={op.group_max * (op.m_padded // 128 // max(op.rows_per_step, 1)) / max(nb, 1):.2f}",
-              flush=True)
-        X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
-        if op.rows_per_step > 1:
-            variants = [
-                ("grouped", op),
-                ("per-block", dataclasses.replace(op, rows_per_step=1,
-                                                  group_max=0)),
-            ]
+        ops_v = []
+        cs = device_laplacian(L, fmt="bsr", block_size=128,
+                              dtype=jnp.bfloat16, use_pallas=True,
+                              col_stream=True)
+        ops_v.append(("colstream", cs))
+        gr = device_laplacian(L, fmt="bsr", block_size=128,
+                              dtype=jnp.bfloat16, use_pallas=True,
+                              col_stream=False)
+        if gr.rows_per_step > 1:
+            ops_v.append(("grouped", gr))
+            ops_v.append(("per-block",
+                          dataclasses.replace(gr, rows_per_step=1,
+                                              group_max=0)))
         else:
-            variants = [("per-block", op)]  # grouping refused (VMEM/hub)
-        for vname, o in variants:
+            ops_v.append(("per-block", gr))
+        nb = int(gr.block_cols.shape[0])
+        ncols = int(cs.cs_gcols.shape[0])
+        print(f"{name}: nodes={gr.m} nnz={gr.nnz} blocks={nb} "
+              f"cs_G={cs.rows_per_step} distinct_cols={ncols} "
+              f"x_reuse={nb / max(ncols, 1):.2f} "
+              f"grouped_G={gr.rows_per_step} Lg={gr.group_max}",
+              flush=True)
+        for vname, o in ops_v:
+            X = jnp.asarray(rng.normal(size=(o.m_padded, C)),
+                            jnp.bfloat16)
             per_block, _f = slope_time(make_chain, (o, X),
                                        units=(outer, 4 * outer))
             dt = per_block / (K - 1)
             print(f"  {vname:9s} {dt*1e6:8.1f} us/spmm "
-                  f"{op.nnz/dt/1e9:.4f} Gedges/s  "
+                  f"{o.nnz/dt/1e9:.4f} Gedges/s  "
                   f"{dt/nb*1e9:6.1f} ns/block", flush=True)
 
 
@@ -973,6 +1051,159 @@ def main_serveload(argv):
           f"{dt2*1e3:.1f} ms/call", flush=True)
 
 
+def main_raggedshard(argv):
+    """Exercise the ragged sharded band's PREFIX/INTERIOR/SUFFIX Pallas
+    passes on the real chip (ADVICE round-4 #5): at nodes=1 the natural
+    boundary split is empty, so `force_boundary` manufactures one —
+    the three-region run must agree exactly with the unsplit pass
+    (per-row arithmetic is split-independent), proving the sliced
+    schedules (sched prefix, sched_int, sched_suf) drive the kernel
+    correctly on hardware, not just through the CPU-mesh oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.synthetic import city_graph
+    from cnn_graph_tpu.parallel import banded_halo_laplacian, make_mesh
+
+    side = int(argv[0]) if argv else 96
+    K = 8
+    L, _ = city_graph(side, k=8, seed=0)
+    mesh = make_mesh(data=1, nodes=1)
+    plain = banded_halo_laplacian(L, mesh, dtype=jnp.bfloat16)
+    forced = banded_halo_laplacian(
+        L, mesh, dtype=jnp.bfloat16,
+        force_boundary=2 * plain.rows_per_step,
+    )
+    print(f"nodes=1 side={side}: plain pre/suf="
+          f"{plain.boundary_pre}/{plain.boundary_suf} forced="
+          f"{forced.boundary_pre}/{forced.boundary_suf} "
+          f"(G={forced.rows_per_step}, overlap={forced.overlap})",
+          flush=True)
+    assert forced.overlap and forced.boundary_pre > 0
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(plain.m_padded, 256)), jnp.bfloat16)
+
+    @jax.jit
+    def diff(a, b, x):
+        ya = a.cheby_chain(x, K)
+        yb = b.cheby_chain(x, K)
+        return jnp.max(jnp.abs(ya.astype(jnp.float32)
+                               - yb.astype(jnp.float32)))
+
+    with mesh:
+        d = float(jax.device_get(diff(plain, forced, X)))
+    print(f"K={K} chain split-vs-unsplit maxdiff: {d} (expect 0.0)",
+          flush=True)
+    assert d == 0.0, d
+
+
+def main_filters10k(argv):
+    """Every non-Chebyshev filter at the 10k-word text topology
+    (VERDICT round-4 next-step #7): fourier is the reference's actual
+    20NEWS variant (20news.ipynb cell 20, lib/filter.py:11-42), spline
+    rides the same eigenbasis, lanczos is the device Krylov filter.
+    Reports host basis-build cost + slope-fit per-conv device cost at
+    the scale where these filters' O(M^2) basis actually bites."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnn_graph_tpu.data.text import synthetic_text_dataset
+    from cnn_graph_tpu.graphs import construction as gc
+    from cnn_graph_tpu.models.chebnet import bspline_basis
+    from cnn_graph_tpu.ops import (
+        cheby_conv,
+        device_laplacian,
+        fourier_conv,
+        lanczos_conv,
+    )
+    from cnn_graph_tpu.utils.profiling import slope_time
+
+    K, Fin, Fout, B = 5, 4, 4, 1
+    n_words = int(argv[0]) if argv else 10000
+
+    t0 = time.time()
+    ds = synthetic_text_dataset(n_docs=4000, vocab_size=12000, seed=0)
+    ds.clean_text()
+    ds.vectorize()
+    ds.remove_short_documents(nwords=5)
+    ds.keep_top_words(n_words, Mprint=0)
+    ds.embed(size=64, seed=0)
+    dist, idx = gc.knn(ds.embeddings.astype(np.float32), k=16,
+                       algorithm="auto")
+    W = gc.adjacency(dist, idx)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm].tocsr()
+    L = gc.laplacian(W, normalized=True)
+    m = L.shape[0]
+    print(f"graph build: {m} words, {L.nnz} nnz, {time.time()-t0:.0f}s",
+          flush=True)
+
+    op = device_laplacian(L, fmt="auto", dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, m, Fin)), jnp.float32)
+
+    # Host basis costs (the O(M^3) eigendecomposition dominates).
+    t0 = time.time()
+    lam, U = gc.fourier(L)
+    t_eig = time.time() - t0
+    print(f"fourier basis (host eigh {m}x{m}): {t_eig:.0f}s", flush=True)
+    Uj = jnp.asarray(U, jnp.float32)
+    Bmat = jnp.asarray(bspline_basis(K, lam, 3))
+
+    w_cheb = jnp.asarray(rng.normal(size=(K, Fin, Fout)) * 0.1,
+                         jnp.float32)
+    w_four = jnp.asarray(rng.normal(size=(m, Fout, Fin)) * 0.1,
+                         jnp.float32)
+    w_spl = jnp.asarray(rng.normal(size=(K, Fout, Fin)) * 0.1,
+                        jnp.float32)
+
+    def chain(conv, *args):
+        def make(u):
+            @jax.jit
+            def run(*a):
+                def body(_, carry):
+                    y = conv(carry, *a[1:])
+                    s = jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+                    # keep the carry shape: project y back onto Fin lanes
+                    return (carry * 0.9 + 0.1 * s
+                            * y[..., :Fin] if y.shape[-1] != Fin
+                            else y * s)
+
+                out = jax.lax.fori_loop(0, u, body, a[0])
+                return jnp.mean(out ** 2)
+
+            return run
+
+        return slope_time(make, args, units=(2, 8))
+
+    t0 = time.time()
+    per, _ = chain(lambda v, w: cheby_conv(v, op, w), x, w_cheb)
+    print(f"chebyshev  K={K}: {per*1e3:8.2f} ms/conv "
+          f"(compile+warm {time.time()-t0:.0f}s)", flush=True)
+
+    t0 = time.time()
+    per, _ = chain(lambda v, U, w: fourier_conv(v, U, w), x, Uj, w_four)
+    print(f"fourier       : {per*1e3:8.2f} ms/conv "
+          f"(compile+warm {time.time()-t0:.0f}s)", flush=True)
+
+    def spline(v, U, Bm, w):
+        w_freq = jnp.einsum("mk,kof->mof", Bm, w)
+        return fourier_conv(v, U, w_freq)
+
+    t0 = time.time()
+    per, _ = chain(spline, x, Uj, Bmat, w_spl)
+    print(f"spline     K={K}: {per*1e3:8.2f} ms/conv "
+          f"(compile+warm {time.time()-t0:.0f}s)", flush=True)
+
+    t0 = time.time()
+    per, _ = chain(lambda v, w: lanczos_conv(v, op, w), x, w_cheb)
+    print(f"lanczos    K={K}: {per*1e3:8.2f} ms/conv "
+          f"(compile+warm {time.time()-t0:.0f}s)", flush=True)
+
+
 def main_scatter(argv):
     """Reference-realistic SCATTERED graph (VERDICT round-3 next-step
     #3): the 20NEWS GC32 topology — a 10k-word embedding kNN graph
@@ -1056,7 +1287,9 @@ MODES = {"peak": main_peak, "mxu": main_mxu, "pred": main_pred,
          "bsr": main_bsr, "bsrgroup": main_bsrgroup, "band": main_band,
          "dkw": main_dkw, "pa": main_pa, "trace": main_trace,
          "tracetrain": main_tracetrain, "serve": main_serve,
-         "serveload": main_serveload, "scatter": main_scatter}
+         "serveload": main_serveload, "scatter": main_scatter,
+         "filters10k": main_filters10k, "raggedshard": main_raggedshard,
+         "loopcost": main_loopcost}
 
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in MODES:

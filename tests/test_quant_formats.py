@@ -50,8 +50,17 @@ def bsr_pair(scattered_graph):
     op_xla = device_laplacian(scattered_graph, fmt="bsr", block_size=128,
                               use_pallas=False)
     op_pl = device_laplacian(scattered_graph, fmt="bsr", block_size=128,
-                             use_pallas=True)
+                             use_pallas=True, col_stream=False)
     return op_xla, op_pl
+
+
+@pytest.fixture(scope="module")
+def colstream_pair(scattered_graph):
+    op_xla = device_laplacian(scattered_graph, fmt="bsr", block_size=128,
+                              use_pallas=False)
+    op_cs = device_laplacian(scattered_graph, fmt="bsr", block_size=128,
+                             use_pallas=True, col_stream=True)
+    return op_xla, op_cs
 
 
 class TestGroupedBsrKernel:
@@ -101,6 +110,84 @@ class TestGroupedBsrKernel:
 
         def f_kernel(x1, x0):
             return jnp.sum(bsr_cheby_hop(op_pl, x1, x0, 512, True) ** 2)
+
+        def f_xla(x1, x0):
+            m = op_xla.m_padded
+            y = 2.0 * op_xla.matmul(x1[:m]) - x0[:m]
+            return jnp.sum(y ** 2)
+
+        g1 = jax.grad(f_kernel, argnums=(0, 1))(X, X0)
+        g2 = jax.grad(f_xla, argnums=(0, 1))(X, X0)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a)[: op_xla.m_padded], np.asarray(b),
+                atol=1e-3, rtol=1e-4,
+            )
+
+
+class TestColumnStreamedBsr:
+    """The scattered-graph kernel: blocks ordered (column, row) within
+    each G-row group; each distinct column's x tile fetched once per
+    group (x traffic O(groups x cols) instead of O(blocks) — the
+    dominant HBM cost of scattered BSR, DESIGN.md §20)."""
+
+    def test_metadata(self, colstream_pair):
+        from cnn_graph_tpu.ops.laplacian import COLSTREAM_CHUNK
+
+        _, op = colstream_pair
+        assert op.col_stream and op.rows_per_step > 1
+        nb = int(op.block_cols.shape[0])
+        assert op.blocks.shape[0] == nb + COLSTREAM_CHUNK
+        # Within each group: columns non-decreasing, meta consistent.
+        rowptr = np.asarray(op.block_rowptr)
+        cols = np.asarray(op.block_cols)
+        rows = np.asarray(op.block_rows)
+        meta = np.asarray(op.cs_meta)
+        G = op.rows_per_step
+        for s in range(len(rowptr) // G):
+            lo, hi = rowptr[s * G], rowptr[min(s * G + G,
+                                               len(rowptr) - 1)]
+            if hi <= lo:
+                continue
+            assert np.all(np.diff(cols[lo:hi]) >= 0)
+            assert np.all((meta[lo:hi] >> 16) == rows[lo:hi] - s * G)
+
+    def test_spmm_hop_and_quant(self, scattered_graph, colstream_pair):
+        import dataclasses
+
+        from cnn_graph_tpu.ops.pallas_spmm import _colstream_call
+
+        op_xla, op = colstream_pair
+        rng = np.random.default_rng(11)
+        X = jnp.asarray(rng.normal(size=(op.m_padded, 200)), jnp.float32)
+        got = np.asarray(_colstream_call(op, X, interpret=True))
+        mk = op_xla.m_padded
+        want = np.asarray(op_xla.matmul(X[:mk]))
+        np.testing.assert_allclose(got[:mk], want, atol=1e-4)
+
+        X0 = jnp.asarray(rng.normal(size=X.shape), jnp.float32)
+        goth = np.asarray(_colstream_call(op, X, X0, interpret=True))
+        np.testing.assert_allclose(goth, 2 * got - np.asarray(X0),
+                                   atol=1e-4)
+
+        q = quantize_block_sparse(op, sample_x=3.0)
+        q_fb = dataclasses.replace(q, use_pallas=False)
+        xq, x0q = q.quantize(X), q.quantize(X0)
+        gq = np.asarray(_colstream_call(q, xq, x0q, interpret=True,
+                                        band_scale=q.block_scale))
+        wq = np.asarray(q_fb.cheby_hop_q(xq, x0q))
+        assert np.array_equal(gq, wq)
+
+    def test_hop_gradients(self, colstream_pair):
+        from cnn_graph_tpu.ops.pallas_spmm import bsr_cheby_hop
+
+        op_xla, op = colstream_pair
+        rng = np.random.default_rng(12)
+        X = jnp.asarray(rng.normal(size=(op.m_padded, 128)), jnp.float32)
+        X0 = jnp.asarray(rng.normal(size=X.shape), jnp.float32)
+
+        def f_kernel(x1, x0):
+            return jnp.sum(bsr_cheby_hop(op, x1, x0, 512, True) ** 2)
 
         def f_xla(x1, x0):
             m = op_xla.m_padded
