@@ -154,7 +154,7 @@ class DenseLaplacian(ChebyHopMixin):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_rows", "block_cols", "block_rowptr",
-                 "cs_meta", "cs_gcols", "cs_gcolptr"],
+                 "cs_meta", "cs_gcols", "cs_gcolptr", "cs_groupptr"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas",
                  "row_max", "rows_per_step", "group_max", "col_stream"],
 )
@@ -211,6 +211,7 @@ class BlockSparseLaplacian(ChebyHopMixin):
     cs_meta: jax.Array | None = None
     cs_gcols: jax.Array | None = None
     cs_gcolptr: jax.Array | None = None
+    cs_groupptr: jax.Array | None = None
 
     @property
     def block_size(self):  # square-block compatibility accessor
@@ -632,7 +633,7 @@ def quantize_dense(op: DenseLaplacian, headroom: float = 2.0,
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["blocks", "block_rows", "block_cols", "block_rowptr",
-                 "cs_meta", "cs_gcols", "cs_gcolptr"],
+                 "cs_meta", "cs_gcols", "cs_gcolptr", "cs_groupptr"],
     meta_fields=["m", "m_padded", "nnz", "block_shape", "use_pallas",
                  "block_scale", "act_scale", "headroom", "row_max",
                  "rows_per_step", "group_max", "col_stream"],
@@ -666,6 +667,7 @@ class QuantBlockSparseLaplacian(QuantOpMixin):
     cs_meta: jax.Array | None = None
     cs_gcols: jax.Array | None = None
     cs_gcolptr: jax.Array | None = None
+    cs_groupptr: jax.Array | None = None
 
     @property
     def block_size(self):
@@ -736,6 +738,7 @@ def quantize_block_sparse(op: BlockSparseLaplacian, headroom: float = 2.0,
         cs_meta=op.cs_meta,
         cs_gcols=op.cs_gcols,
         cs_gcolptr=op.cs_gcolptr,
+        cs_groupptr=op.cs_groupptr,
     )
 
 
@@ -1080,51 +1083,85 @@ def pack_block_sparse(L: scipy.sparse.spmatrix,
 
 
 COLSTREAM_CHUNK = 64  # block slab sub-chunk (double-buffered DMA unit)
+COLSTREAM_UNROLL = 8  # blocks per fori-loop iteration in the kernel:
+# the measured per-iteration scalar overhead of a dynamic in-kernel
+# fori is ~229 ns (loopcost probe) — one block per iteration caps the
+# walk at ~250 ns/block regardless of DMA strategy; 8 static dots per
+# iteration amortize it to ~30 ns (DESIGN.md §20).
 
 
-def colstream_order(rowptr: np.ndarray, brows: np.ndarray,
-                    bcols: np.ndarray, G: int):
-    """Column-streamed block ordering + kernel metadata for scattered
-    BSR (the x-reuse kernel, ops/pallas_spmm._kernel_colstream).
+def colstream_pack(blocks: np.ndarray, brows: np.ndarray,
+                   bcols: np.ndarray, rowptr: np.ndarray, G: int,
+                   unroll: int = COLSTREAM_UNROLL):
+    """Column-streamed block layout + kernel metadata for scattered BSR
+    (the unrolled x-reuse kernel, ops/pallas_spmm._kernel_colstream).
 
-    Per-block x-tile fetches are the dominant HBM traffic of scattered
-    BSR (measured 13.0 ms/spmm at 50k embedding-kNN — 6.8 GB of x
-    tiles per SpMM, each fetched once PER BLOCK).  Reordering each
-    G-row group's blocks by (column, row) lets the kernel fetch each
-    DISTINCT column's x tile once per group and reuse it across the
-    group's rows — x traffic drops from O(blocks) to
-    O(groups x distinct-cols).
+    Each G-row group's blocks are reordered by (column, row) — so each
+    DISTINCT column's x tile is fetched once per group — and padded
+    with zero blocks to a multiple of ``unroll`` so the kernel can walk
+    them ``unroll`` at a time with one dynamic loop iteration per
+    bundle (the per-iteration scalar overhead is the flat ~250 ns/block
+    the per-block pipeline pays; DESIGN.md §20).  Pad blocks carry
+    ``meta = 0`` (row 0, first column) and are zero, so they
+    contribute nothing.
 
-    Returns ``(perm, meta, gcols, gcolptr)``:
-
-    * ``perm``   — block permutation (within-group only; group
-      boundaries ``rowptr[s*G]`` stay valid);
-    * ``meta[b]`` — packed int32 ``(row_within_group << 16) |
-      local_distinct_col_index`` for the permuted block ``b``;
-    * ``gcols`` — flat per-group distinct column lists;
-    * ``gcolptr`` — [n_groups + 1] offsets into ``gcols``.
+    Returns ``(blocks2, brows2, bcols2, meta, gcols, gcolptr,
+    groupptr)`` where ``groupptr`` [n_groups+1] locates each group's
+    padded block run (multiples of ``unroll``; COLSTREAM_CHUNK must be
+    a multiple of ``unroll`` for the chunk DMA bookkeeping).
     """
     n_rb = len(rowptr) - 1
     nsb = n_rb // G
     assert n_rb % G == 0
-    perm = np.arange(len(brows), dtype=np.int64)
-    meta = np.zeros(len(brows), np.int32)
-    gcols_parts = []
+    assert COLSTREAM_CHUNK % unroll == 0
+    bshape = blocks.shape[1:]
+    out_blocks, out_rows, out_cols = [], [], []
+    meta_parts, gcols_parts = [], []
     gcolptr = np.zeros(nsb + 1, np.int64)
+    groupptr = np.zeros(nsb + 1, np.int64)
     for s in range(nsb):
         lo, hi = int(rowptr[s * G]), int(rowptr[(s + 1) * G])
         idx = np.arange(lo, hi)
         order = np.lexsort((brows[idx], bcols[idx]))
         p = idx[order]
-        perm[lo:hi] = p
         cols = bcols[p]
         uniq, local = np.unique(cols, return_inverse=True)
-        meta[lo:hi] = ((brows[p] - s * G) << 16) | local
+        mt = ((brows[p] - s * G) << 16) | local
+        pad = (-len(p)) % unroll
+        out_blocks.append(blocks[p])
+        if pad:
+            out_blocks.append(np.zeros((pad,) + bshape, blocks.dtype))
+        out_rows.append(np.concatenate(
+            [brows[p], np.full(pad, s * G, brows.dtype)]))
+        # Pad columns carry the group's LAST column so the per-group
+        # column order stays non-decreasing (pad blocks are zero; the
+        # value only needs to be in bounds for the XLA-fallback gather).
+        out_cols.append(np.concatenate(
+            [cols, np.full(pad, uniq[-1] if len(uniq) else 0,
+                           bcols.dtype)]))
+        # Pad meta: row 0, column slot = the LAST real block's slot —
+        # the kernel reads each bundle's last meta as the column
+        # high-water mark, so pads must not understate it (pad blocks
+        # are zero; their dot adds nothing to row 0).
+        pad_slot = int(local[-1]) if len(local) else 0
+        meta_parts.append(np.concatenate(
+            [mt, np.full(pad, pad_slot, np.int64)]))
         gcols_parts.append(uniq)
         gcolptr[s + 1] = gcolptr[s] + len(uniq)
-    gcols = (np.concatenate(gcols_parts) if gcols_parts
-             else np.zeros(0, np.int64))
-    return perm, meta, gcols.astype(np.int32), gcolptr.astype(np.int32)
+        groupptr[s + 1] = groupptr[s] + len(p) + pad
+    blocks2 = (np.concatenate(out_blocks) if out_blocks
+               else blocks[:0])
+    return (
+        blocks2,
+        np.concatenate(out_rows) if out_rows else brows[:0],
+        np.concatenate(out_cols) if out_cols else bcols[:0],
+        (np.concatenate(meta_parts) if meta_parts
+         else np.zeros(0)).astype(np.int32),
+        (np.concatenate(gcols_parts) if gcols_parts
+         else np.zeros(0)).astype(np.int32),
+        gcolptr.astype(np.int32),
+        groupptr.astype(np.int32),
+    )
 
 
 def choose_bsr_row_group(rowptr: np.ndarray, br: int, bc: int,
@@ -1325,13 +1362,14 @@ def device_laplacian(
         row_max = int(counts.max()) if len(counts) else 0
         mean_cnt = float(counts.mean()) if len(counts) else 0.0
         if col_stream is None:
-            # Measured (DESIGN.md §20): x-tile reuse alone moved NOTHING
-            # on chip (city 989 vs grouped 977 us/spmm; scatter 13355 vs
-            # 13096) — the per-block cost is loop-body bookkeeping, not
-            # DMA traffic.  Column-streaming is kept opt-in as the
-            # substrate for the unrolled body (which does attack that
-            # cost); the grouped slab kernel stays the default.
-            col_stream = False
+            # The branch-free unrolled column-streamed kernel is the
+            # measured BSR winner everywhere (DESIGN.md §20): city 50k
+            # 707 vs 977 (grouped) vs 1148 (per-block) us/spmm; 50k
+            # scattered kNN 6511 vs 13103 — the per-block walk's flat
+            # ~245 ns/block was scalar fori-iteration cost (loopcost
+            # probe: ~229 ns/iteration), amortized by the U=8 bundle
+            # walk, with x-tile reuse riding along.
+            col_stream = bool(use_pallas) and not chunked_rows
         if col_stream and use_pallas and len(counts):
             G_cs = min(8, max(len(counts), 1))
             mp = _round_up(mp, int(np.lcm(G_cs * block_shape[0],
@@ -1342,12 +1380,9 @@ def device_laplacian(
                  np.full(n_rb + 1 - len(rowptr), rowptr[-1],
                          rowptr.dtype)]
             )
-            perm, cs_meta, cs_gcols, cs_gcolptr = colstream_order(
-                rowptr, brows, bcols, G_cs
-            )
-            blocks = blocks[perm]
-            brows = brows[perm]
-            bcols = bcols[perm]
+            (blocks, brows, bcols, cs_meta, cs_gcols, cs_gcolptr,
+             cs_groupptr) = colstream_pack(blocks, brows, bcols,
+                                           rowptr, G_cs)
             blocks = np.concatenate(
                 [blocks,
                  np.zeros((COLSTREAM_CHUNK,) + blocks.shape[1:],
@@ -1371,6 +1406,7 @@ def device_laplacian(
                 cs_meta=jnp.asarray(cs_meta),
                 cs_gcols=jnp.asarray(cs_gcols),
                 cs_gcolptr=jnp.asarray(cs_gcolptr),
+                cs_groupptr=jnp.asarray(cs_groupptr),
             )
         if chunked_rows and row_max > 0 and row_max <= max(
             4.0 * mean_cnt, 8.0

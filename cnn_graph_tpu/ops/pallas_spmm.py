@@ -126,22 +126,25 @@ def _kernel_grouped(row_ptr_ref, cols_ref, blocks_ref, x_ref, *rest,
         _emit_row(y_ref, x0_ref, None, acc, g, br, hop, quant, band_scale)
 
 
-def _kernel_colstream(rowptr_ref, meta_ref, gcols_ref, gcolptr_ref,
-                      blocks_ref, x_ref, *rest, br, bc, tc, G, CH,
+def _kernel_colstream(groupptr_ref, meta_ref, gcols_ref, gcolptr_ref,
+                      blocks_ref, x_ref, *rest, br, bc, tc, G, CH, U,
                       hop, band_scale):
-    """Column-streamed grouped BSR: x-tile REUSE across a row-group.
+    """Column-streamed grouped BSR with an UNROLLED block walk.
 
-    The per-block pipeline fetches one x tile PER BLOCK — at 50k-node
-    embedding-kNN scale that is 6.8 GB of HBM per SpMM and the whole
-    13.0 ms/spmm cost (measured; the kernel runs near the roofline of
-    that traffic pattern).  Here each G-row group's blocks are ordered
-    by (column, row) host-side (``ops.laplacian.colstream_order``), so
-    each DISTINCT column's x tile is fetched once per group and reused
-    by every block in that column — x traffic drops from O(blocks) to
-    O(groups x distinct-cols).  Blocks stream as fixed ``CH``-block
-    contiguous sub-chunks (double-buffered); per-row accumulators live
-    in one ``[G*br, tc]`` VMEM scratch updated at the block's
-    row-within-group offset.
+    Two measured facts shape this kernel (DESIGN.md §20): (1) the
+    per-block pipeline's flat ~250 ns/block is the scalar-core cost of
+    one dynamic ``fori`` iteration per block (loopcost probe: ~229 ns/
+    iteration; 8 static dots per iteration run at 196 TF/s);
+    (2) per-block x-tile fetches are most of scattered BSR's HBM
+    traffic.  So: each G-row group's blocks are ordered (column, row)
+    and padded to a multiple of ``U`` host-side
+    (``ops.laplacian.colstream_pack``); the walk processes ``U`` blocks
+    per iteration (pad blocks are zero with meta 0 — they add
+    nothing), each DISTINCT column's x tile is fetched once per group,
+    and blocks stream as ``CH``-block contiguous double-buffered
+    chunks (``CH`` a multiple of ``U`` so chunk transitions happen at
+    bundle boundaries).  Per-row accumulators live in one ``[G*br,
+    tc]`` VMEM scratch updated at the block's row-within-group offset.
 
     ``band_scale`` enables the int8 path; ``hop`` the fused Chebyshev
     update — both folded into the single whole-group emission.
@@ -153,10 +156,13 @@ def _kernel_colstream(rowptr_ref, meta_ref, gcols_ref, gcolptr_ref,
         x0_ref = None
     quant = band_scale is not None
     acc_dt = jnp.int32 if quant else jnp.float32
+    NBX = U + 1  # x-tile ring: a bundle can consume up to U columns
+    # PLUS the carry-over column from the previous bundle; lookahead
+    # starts are deferred to after the dots, so U+1 slots suffice.
     s = pl.program_id(0)
     j = pl.program_id(1)
-    lo = rowptr_ref[s * G]
-    hi = rowptr_ref[(s + 1) * G]
+    lo = groupptr_ref[s]
+    hi = groupptr_ref[s + 1]
     clo = gcolptr_ref[s]
     chi = gcolptr_ref[s + 1]
 
@@ -178,19 +184,20 @@ def _kernel_colstream(rowptr_ref, meta_ref, gcols_ref, gcolptr_ref,
     def _():
         chunk_dma(0, 0).start()
 
-    for d in range(NBUF - 1):
+    for d in range(NBX - 1):
         @pl.when(clo + d < chi)
         def _(d=d):
-            x_dma(clo + d, jax.lax.rem(jnp.int32(d), NBUF)).start()
+            x_dma(clo + d, jax.lax.rem(jnp.int32(d), NBX)).start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def body(b, carry):
+    def body(t, carry):
         last_ci, cur_k = carry
-        r = b - lo
-        k = r // CH
+        r0 = t * U
+        k = r0 // CH
 
-        # Entering a new block sub-chunk: wait it, start the next.
+        # Chunk transitions happen at bundle boundaries (CH % U == 0):
+        # entering a new chunk waits it and starts the next.
         @pl.when(k > cur_k)
         def _():
             chunk_dma(k, jax.lax.rem(k, 2)).wait()
@@ -199,31 +206,51 @@ def _kernel_colstream(rowptr_ref, meta_ref, gcols_ref, gcolptr_ref,
             def _():
                 chunk_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
 
-        meta = meta_ref[b]
-        g = jax.lax.shift_right_logical(meta, 16)
-        ci = clo + (meta & 0xFFFF)
+        kslot = jax.lax.rem(k, 2)
 
-        # Entering a new distinct column (ci advances by exactly 1):
-        # wait its x tile, start the lookahead tile.
-        @pl.when(ci > last_ci)
-        def _():
-            x_dma(ci, jax.lax.rem(ci - clo, NBUF)).wait()
-            ahead = ci + NBUF - 1
+        # Column waits hoisted OUT of the dot walk: within a bundle the
+        # column slot is nondecreasing, so the bundle's LAST meta is its
+        # column high-water mark (pads carry the last real slot).  The
+        # U-dot walk is then branch-free — scalar-serialized per-block
+        # branches were the flat ~229 ns/iteration the loopcost probe
+        # measured.  Lookahead STARTS are deferred to after the dots:
+        # starting column c overwrites ring slot (c - NBX), which the
+        # dots may still need if done eagerly (the bundle reads columns
+        # in [last_ci, ci_hi] and NBX = U + 1 exactly covers them).
+        ci_hi = clo + (meta_ref[lo + r0 + U - 1] & 0xFFFF)
+
+        jax.lax.fori_loop(
+            last_ci + 1, ci_hi + 1,
+            lambda c, _: (x_dma(c, jax.lax.rem(c - clo, NBX)).wait(),
+                          0)[1],
+            0,
+        )
+
+        for d in range(U):
+            meta = meta_ref[lo + r0 + d]
+            g = jax.lax.shift_right_logical(meta, 16)
+            ci_b = clo + (meta & 0xFFFF)
+            tap = jnp.dot(
+                bchunk[kslot, r0 + d - k * CH],
+                xbuf[jax.lax.rem(ci_b - clo, NBX)],
+                preferred_element_type=acc_dt,
+            )
+            acc_ref[pl.ds(g * br, br), :] += tap
+
+        def scol(c, _):
+            ahead = c + NBX - 1
 
             @pl.when(ahead < chi)
             def _():
-                x_dma(ahead, jax.lax.rem(ahead - clo, NBUF)).start()
+                x_dma(ahead, jax.lax.rem(ahead - clo, NBX)).start()
 
-        tap = jnp.dot(
-            bchunk[jax.lax.rem(k, 2), r - k * CH],
-            xbuf[jax.lax.rem(ci - clo, NBUF)],
-            preferred_element_type=acc_dt,
-        )
-        rows = pl.ds(g * br, br)
-        acc_ref[rows, :] += tap
-        return ci, k
+            return 0
 
-    jax.lax.fori_loop(lo, hi, body, (clo - 1, jnp.int32(-1)))
+        jax.lax.fori_loop(last_ci + 1, ci_hi + 1, scol, 0)
+        return ci_hi, k
+
+    jax.lax.fori_loop(0, (hi - lo) // U, body,
+                      (clo - 1, jnp.int32(-1)))
 
     acc = acc_ref[:]
     if quant:
@@ -244,12 +271,16 @@ def _colstream_call(L, x, x0=None, col_tile: int = 512,
                     band_scale: float | None = None):
     """Invoke the column-streamed kernel on a col_stream-packed
     (Quant)BlockSparseLaplacian."""
-    from cnn_graph_tpu.ops.laplacian import COLSTREAM_CHUNK
+    from cnn_graph_tpu.ops.laplacian import (
+        COLSTREAM_CHUNK,
+        COLSTREAM_UNROLL,
+    )
 
     br, bc = L.block_shape
     mp = L.m_padded
     G = L.rows_per_step
     CH = COLSTREAM_CHUNK
+    U = COLSTREAM_UNROLL
     nsb = mp // br // G
     C = x.shape[1]
     tc = min(col_tile, max(128, -(-C // 128) * 128))
@@ -277,20 +308,20 @@ def _colstream_call(L, x, x0=None, col_tile: int = 512,
         out_specs=row_block,
         scratch_shapes=[
             pltpu.VMEM((2, CH, br, bc), L.blocks.dtype),   # block chunks
-            pltpu.VMEM((NBUF, bc, tc), x.dtype),           # x-tile ring
+            pltpu.VMEM((U + 1, bc, tc), x.dtype),          # x-tile ring
             pltpu.VMEM((G * br, tc),
                        jnp.int32 if band_scale is not None
                        else jnp.float32),                  # accumulators
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((U + 1,)),
         ],
     )
     nb = int(L.block_cols.shape[0])
-    operands = (L.block_rowptr, L.cs_meta, L.cs_gcols, L.cs_gcolptr,
+    operands = (L.cs_groupptr, L.cs_meta, L.cs_gcols, L.cs_gcolptr,
                 L.blocks, x) + ((x0,) if hop else ())
     y = pl.pallas_call(
         functools.partial(_kernel_colstream, br=br, bc=bc, tc=tc, G=G,
-                          CH=CH, hop=hop, band_scale=band_scale),
+                          CH=CH, U=U, hop=hop, band_scale=band_scale),
         out_shape=jax.ShapeDtypeStruct((mp, cp), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -385,58 +385,66 @@ def main_loopcost(argv):
 
     from cnn_graph_tpu.utils.profiling import slope_time
 
-    iters = int(argv[0]) if argv else 4096
+    N = int(argv[0]) if argv else 2048  # in-kernel dots per call (fixed)
     T, m, k, n = 16, 128, 128, 512
     dt = jnp.bfloat16
 
     def make_run(unroll):
+        def kernel(seed_ref, a_ref, b_ref, o_ref, acc_ref):
+            # Seed the accumulator from the carried input so chained
+            # calls stay data-dependent (no CSE across the outer loop).
+            acc_ref[:] = seed_ref[:].astype(jnp.float32)
+
+            def body(i, carry):
+                base = jax.lax.rem(i * unroll, T)
+                for d in range(unroll):
+                    idx = jax.lax.rem(base + d, T)
+                    acc_ref[:] += jnp.dot(
+                        a_ref[idx], b_ref[idx],
+                        preferred_element_type=jnp.float32,
+                    )
+                return carry
+
+            jax.lax.fori_loop(0, N // unroll, body, 0)
+            o_ref[:] = (acc_ref[:] * 1e-3).astype(dt)
+
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m, n), dt),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
+        )
+
         def makek(u):
-            def kernel(a_ref, b_ref, o_ref, acc_ref):
-                acc_ref[:] = jnp.zeros_like(acc_ref)
-
-                def body(i, carry):
-                    base = jax.lax.rem(i * unroll, T)
-                    for d in range(unroll):
-                        idx = jax.lax.rem(base + d, T)
-                        acc_ref[:] += jnp.dot(
-                            a_ref[idx], b_ref[idx],
-                            preferred_element_type=jnp.float32,
-                        )
-                    return carry
-
-                jax.lax.fori_loop(0, u // unroll, body, 0)
-                o_ref[:] = acc_ref[:].astype(dt)
-
             @jax.jit
-            def run(a, b):
-                o = pl.pallas_call(
-                    kernel,
-                    out_shape=jax.ShapeDtypeStruct((m, n), dt),
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                    scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
-                )(a, b)
-                return jnp.sum(o.astype(jnp.float32) ** 2)
+            def run(seed, a, b):
+                out = jax.lax.fori_loop(
+                    0, u, lambda _, s: call(s, a, b), seed
+                )
+                return jnp.sum(out.astype(jnp.float32) ** 2)
 
             return run
 
         return makek
 
-    a = jnp.ones((T, m, k), dt) * 0.01
-    b = jnp.ones((T, k, n), dt) * 0.01
+    rng = __import__("numpy").random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(T, m, k)) * 0.01, dt)
+    b = jnp.asarray(rng.normal(size=(T, k, n)) * 0.01, dt)
+    seed = jnp.zeros((m, n), dt)
     flops = 2 * m * k * n
     res = {}
     for unroll in (1, 2, 4, 8):
-        per_iter, _f = slope_time(make_run(unroll), (a, b),
-                                  units=(max(iters // 4, 2), iters))
-        per_dot = per_iter
+        per_call, _f = slope_time(make_run(unroll), (seed, a, b),
+                                  units=(4, 16))
+        per_dot = per_call / N
         res[unroll] = per_dot
         print(f"unroll={unroll}: {per_dot*1e9:7.1f} ns/dot "
               f"{flops/per_dot/1e12:6.1f} TFLOP/s", flush=True)
     if 1 in res and 8 in res:
         ov = (res[1] - res[8]) * 8 / 7
-        print(f"=> per-fori-iteration overhead ~ {ov*1e9:.0f} ns "
-              f"(amortized-away fraction at unroll 8)", flush=True)
+        print(f"=> per-fori-iteration overhead ~ {ov*1e9:.0f} ns",
+              flush=True)
 
 
 def main_bsrgroup(argv):
@@ -521,6 +529,30 @@ def main_bsrgroup(argv):
             print(f"  {vname:9s} {dt*1e6:8.1f} us/spmm "
                   f"{o.nnz/dt/1e9:.4f} Gedges/s  "
                   f"{dt/nb*1e9:6.1f} ns/block", flush=True)
+
+        # Int8 serving chain through the column-streamed kernel (the
+        # RCV1-scale quantized path: int8 tiles + int32 taps).
+        from cnn_graph_tpu.ops import quantize_block_sparse
+
+        def make_chain_q(u):
+            @jax.jit
+            def chain_q(qop, x):
+                xq = qop.quantize(x.astype(jnp.float32))
+                out = jax.lax.fori_loop(
+                    0, u, lambda _, q: cheby_finals(qop, q, K), xq
+                )
+                return jnp.mean(qop.dequantize(out) ** 2)
+
+            return chain_q
+
+        qcs = quantize_block_sparse(cs, sample_x=3.0)
+        Xq = jnp.asarray(rng.normal(size=(cs.m_padded, C)), jnp.bfloat16)
+        per_block, _f = slope_time(make_chain_q, (qcs, Xq),
+                                   units=(outer, 4 * outer))
+        dt = per_block / (K - 1)
+        print(f"  {'cs_int8':9s} {dt*1e6:8.1f} us/spmm "
+              f"{cs.nnz/dt/1e9:.4f} Gedges/s  "
+              f"{dt/nb*1e9:6.1f} ns/block", flush=True)
 
 
 def main_band(argv):

@@ -138,15 +138,18 @@ class TestColumnStreamedBsr:
         assert op.col_stream and op.rows_per_step > 1
         nb = int(op.block_cols.shape[0])
         assert op.blocks.shape[0] == nb + COLSTREAM_CHUNK
-        # Within each group: columns non-decreasing, meta consistent.
-        rowptr = np.asarray(op.block_rowptr)
+        # Within each group: columns non-decreasing, meta consistent,
+        # run lengths multiples of the kernel unroll.
+        from cnn_graph_tpu.ops.laplacian import COLSTREAM_UNROLL
+
+        gp = np.asarray(op.cs_groupptr)
         cols = np.asarray(op.block_cols)
         rows = np.asarray(op.block_rows)
         meta = np.asarray(op.cs_meta)
         G = op.rows_per_step
-        for s in range(len(rowptr) // G):
-            lo, hi = rowptr[s * G], rowptr[min(s * G + G,
-                                               len(rowptr) - 1)]
+        assert np.all(np.diff(gp) % COLSTREAM_UNROLL == 0)
+        for s in range(len(gp) - 1):
+            lo, hi = gp[s], gp[s + 1]
             if hi <= lo:
                 continue
             assert np.all(np.diff(cols[lo:hi]) >= 0)
