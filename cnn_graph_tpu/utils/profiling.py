@@ -96,9 +96,8 @@ def trace(log_dir: str):
 # accumulation (measured 140 TFLOP/s) — which is exactly what every
 # f32-operand matmul in this library runs, so it is the honest roofline
 # for those kernels.  Faithful fp32 precision (precision=HIGHEST,
-# multi-pass bf16 emulation) runs far slower — measured 22.6 TFLOP/s
-# on this chip (`_probe.py peak` f32_hi row); no shipped kernel
-# requests it.
+# multi-pass bf16 emulation) runs far slower — measure it with the
+# `_probe.py peak` f32_hi row; no shipped kernel requests it.
 # The round-1 'measured peaks' (bf16 114T / int8 153T) were single-call
 # wall-clock numbers that silently folded the tunnel's fixed ~25.6 ms
 # per-dispatch host round-trip into the rate — slope-fit timing

@@ -204,8 +204,16 @@ def main():
         # delta vs f32 and steady-state inference time.  With
         # --mesh-nodes --halo banded, the quantized SHARDED operator
         # serves with int8 carries over the ICI ring (DESIGN.md §13).
-        from cnn_graph_tpu.ops import quantize_banded
-        from cnn_graph_tpu.ops.laplacian import BandedLaplacian
+        from cnn_graph_tpu.ops import (
+            quantize_banded,
+            quantize_block_sparse,
+            quantize_dense,
+        )
+        from cnn_graph_tpu.ops.laplacian import (
+            BandedLaplacian,
+            BlockSparseLaplacian,
+            DenseLaplacian,
+        )
         from cnn_graph_tpu.parallel import (
             BandedHaloLaplacian,
             BandedSparseHaloLaplacian,
@@ -220,6 +228,13 @@ def main():
         elif isinstance(op, (SparseHaloLaplacian,
                              BandedSparseHaloLaplacian)):
             qop = quantize_sparse_halo(op, sample_x=sample)
+        elif isinstance(op, DenseLaplacian):
+            # Round 5: every single-chip format has an int8 twin — the
+            # trained operator quantizes in place, whatever fmt="auto"
+            # picked (DESIGN.md §20).
+            qop = quantize_dense(op, sample_x=sample)
+        elif isinstance(op, BlockSparseLaplacian):
+            qop = quantize_block_sparse(op, sample_x=sample)
         else:
             band_op = (op if isinstance(op, BandedLaplacian)
                        else device_laplacian(L, fmt="banded"))
