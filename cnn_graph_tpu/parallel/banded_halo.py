@@ -62,7 +62,9 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["band", "base", "sched", "sched_int", "sched_suf"],
+    data_fields=["band", "base", "sched", "sched_int", "sched_suf",
+                 "bands_dkw", "sched_dkw", "sched_dkw_int",
+                 "sched_dkw_suf"],
     meta_fields=["mesh", "m", "m_padded", "nnz", "halo_left", "halo_right",
                  "rows_per_shard", "block_shape", "ring_slots",
                  "rows_per_step", "use_pallas", "boundary_pre",
@@ -114,6 +116,15 @@ class BandedHaloLaplacian(ChebyHopMixin):
     sched: jax.Array | None = None
     sched_int: jax.Array | None = None
     sched_suf: jax.Array | None = None
+    # Deep-K window twin layout (DESIGN.md §20), per shard: one sharded
+    # array per width level [n, rows_l, br, W_l*bc] and region
+    # schedules whose row 0 holds per-level ROW offsets.  When present,
+    # every Pallas region pass runs `banded_call_dkw` (one wide MXU dot
+    # per block-row) instead of the tap-loop ragged kernel.
+    bands_dkw: tuple | None = None
+    sched_dkw: jax.Array | None = None
+    sched_dkw_int: jax.Array | None = None
+    sched_dkw_suf: jax.Array | None = None
 
     @property
     def compute_dtype(self):
@@ -247,6 +258,38 @@ def _ragged_from_uniform(band, base_local, h_l, h_r, G, pre, suf,
     return levels, flat, sched, sched_int, sched_suf, max(rings)
 
 
+def _dkw_per_shard(flat, sched_np, levels, G, br, bc):
+    """Per-shard deep-K-window repack of the flat ragged bands.
+
+    Runs ``ops.pallas_band.pack_dkw_from_ragged`` per shard, pads each
+    level's row count to the max across shards (zero rows — schedules
+    never reference them) and returns ``(bands, row0)`` where
+    ``bands[l]`` is ``[n, rows_l_max, br, W_l*bc]`` and ``row0`` is the
+    per-shard dkw schedule row 0 (per-level ROW offsets) to substitute
+    into the region schedules."""
+    from cnn_graph_tpu.ops.pallas_band import pack_dkw_from_ragged
+
+    n = flat.shape[0]
+    nl = len(levels)
+    per = []
+    for s in range(n):
+        sch = (sched_np[s, 0], sched_np[s, 1], sched_np[s, 2])
+        bands_s, sd = pack_dkw_from_ragged(flat[s], sch, levels, G,
+                                           br, bc)
+        per.append((bands_s, sd))
+    rows_max = [max(p[0][i].shape[0] for p in per) for i in range(nl)]
+    bands = [
+        np.zeros((n, rows_max[i], br, levels[i] * bc), flat.dtype)
+        for i in range(nl)
+    ]
+    row0 = np.zeros((n, sched_np.shape[2]), np.int32)
+    for s, (bs, sd) in enumerate(per):
+        for i in range(nl):
+            bands[i][s, : bs[i].shape[0]] = bs[i]
+        row0[s] = sd[0]
+    return bands, row0
+
+
 def _exchange_parts(op, x_local):
     """Start the neighbor ppermutes; return [left?, x_local, right?]
     WITHOUT concatenating, so callers can place compute between the
@@ -295,7 +338,8 @@ def _shard_hop(op, band, base, x_local, x0_local,
     ragged = bool(op.levels)
     br = op.block_shape[0]
     if ragged:
-        sched_full, sched_int, sched_suf = scheds
+        (sched_full, sched_int, sched_suf, *dkw) = scheds
+        dkw = dkw[0] if dkw else None  # (sdk, sdi, sds, bands) | None
         G = op.rows_per_step
         nbr_s = ms // br
     else:
@@ -318,9 +362,20 @@ def _shard_hop(op, band, base, x_local, x0_local,
         wins = jnp.take(xb, cols, axis=0)  # [rows, W, bc, C]
         return _emit(bslice, wins, x0slice, out_rows)
 
-    def run_ragged(sched, baseslice, xarr, x0slice, out_rows):
+    def run_ragged(sched, baseslice, xarr, x0slice, out_rows,
+                   sched_dkw=None, bands_dkw=None):
         """One RAGGED banded pass over the super-steps ``sched`` covers;
-        offsets address the whole flat band."""
+        offsets address the whole flat band.  With dkw operands the
+        pass runs the deep-K window kernel instead (one wide MXU dot
+        per block-row; DESIGN.md §20)."""
+        if op.use_pallas and sched_dkw is not None:
+            from cnn_graph_tpu.ops.pallas_band import banded_call_dkw
+
+            return banded_call_dkw(
+                bands_dkw, baseslice, sched_dkw, xarr, x0slice,
+                levels=op.levels, ring=op.ring_slots, G=G,
+                out_rows=out_rows, band_scale=band_scale,
+            ).astype(x_local.dtype)
         if op.use_pallas:
             from cnn_graph_tpu.ops.pallas_band import banded_call_ragged
 
@@ -385,6 +440,8 @@ def _shard_hop(op, band, base, x_local, x0_local,
             y_int = run_ragged(
                 sched_int, base[pre:pre + interior] - op.halo_left,
                 x_local, x0_rows(pre, pre + interior), interior * br,
+                sched_dkw=(dkw[1] if dkw else None),
+                bands_dkw=(dkw[3] if dkw else None),
             )
         else:
             y_int = run(
@@ -398,7 +455,10 @@ def _shard_hop(op, band, base, x_local, x0_local,
         if pre:
             ys.append(
                 run_ragged(sched_full[:, : pre // G], base[:pre], x_ext,
-                           x0_rows(0, pre), pre * br)
+                           x0_rows(0, pre), pre * br,
+                           sched_dkw=(dkw[0][:, : pre // G]
+                                      if dkw else None),
+                           bands_dkw=(dkw[3] if dkw else None))
                 if ragged else
                 run(band[:pre], base[:pre], x_ext,
                     x0_rows(0, pre), pre * br)
@@ -407,7 +467,9 @@ def _shard_hop(op, band, base, x_local, x0_local,
         if suf:
             ys.append(
                 run_ragged(sched_suf, base[nbr_s - suf:], x_ext,
-                           x0_rows(nbr_s - suf, nbr_s), suf * br)
+                           x0_rows(nbr_s - suf, nbr_s), suf * br,
+                           sched_dkw=(dkw[2] if dkw else None),
+                           bands_dkw=(dkw[3] if dkw else None))
                 if ragged else
                 run(band[nbr_s - suf:], base[nbr_s - suf:],
                     x_ext, x0_rows(nbr_s - suf, nbr_s), suf * br)
@@ -416,32 +478,58 @@ def _shard_hop(op, band, base, x_local, x0_local,
     x_ext = (jnp.concatenate(parts, axis=0)
              if len(parts) > 1 else x_local)
     if ragged:
-        return run_ragged(sched_full, base, x_ext, x0_local, ms)
+        return run_ragged(sched_full, base, x_ext, x0_local, ms,
+                          sched_dkw=(dkw[0] if dkw else None),
+                          bands_dkw=(dkw[3] if dkw else None))
     return run(band, base, x_ext, x0_local, ms)
+
+
+def _sched_operands(op):
+    """Schedule (+ dkw) operands shipped into every shard_map region."""
+    ragged = bool(op.levels)
+    ops_ = ()
+    if ragged:
+        ops_ = (op.sched, op.sched_int, op.sched_suf)
+        if getattr(op, "bands_dkw", None) is not None:
+            ops_ += (op.sched_dkw, op.sched_dkw_int,
+                     op.sched_dkw_suf) + tuple(op.bands_dkw)
+    return ragged, ops_, (P("nodes"),) * len(ops_)
+
+
+def _unwrap_scheds(op, rest):
+    """Split a region's tail args into (scheds-for-_shard_hop, rest).
+
+    ``scheds`` is ``(sched, sched_int, sched_suf[, dkw])`` with the
+    shard axis stripped; ``dkw = (sdk, sdi, sds, bands_list)``."""
+    if not op.levels:
+        return None, rest
+    nl = len(op.levels)
+    has_dkw = getattr(op, "bands_dkw", None) is not None
+    n_s = 3 + (3 + nl if has_dkw else 0)
+    s_ops, rem = rest[:n_s], rest[n_s:]
+    scheds = (s_ops[0][0], s_ops[1][0], s_ops[2][0])
+    if has_dkw:
+        scheds = scheds + ((s_ops[3][0], s_ops[4][0], s_ops[5][0],
+                            [b[0] for b in s_ops[6:]]),)
+    return scheds, rem
 
 
 def _apply_sharded(op, x: jax.Array, x0: jax.Array | None,
                    band_scale: float | None = None) -> jax.Array:
     """One sharded hop as its own shard_map region (see _shard_hop)."""
-    ragged = bool(op.levels)
 
     def local(band, base, *rest):
-        if ragged:
-            sf, si, ss, *xs = rest
-            scheds = (sf[0], si[0], ss[0])
-        else:
-            xs = rest
-            scheds = None
+        scheds, xs = _unwrap_scheds(op, rest)
         return _shard_hop(op, band[0], base[0], xs[0],
                           xs[1] if len(xs) > 1 else None, band_scale,
                           scheds=scheds)
 
-    sched_ops = ((op.sched, op.sched_int, op.sched_suf) if ragged else ())
+    ragged, sched_ops, sched_specs = _sched_operands(op)
     operands = (op.band, op.base) + sched_ops + (x,) + (
         (x0,) if x0 is not None else ()
     )
     in_specs = (
-        (P("nodes"),) * (2 + len(sched_ops)) + (P("nodes", None),)
+        (P("nodes"), P("nodes")) + sched_specs + (P("nodes", None),)
         + ((P("nodes", None),) if x0 is not None else ())
     )
     # Fully-manual shard_map, like parallel/sparse_halo.py: the
@@ -456,12 +544,6 @@ def _apply_sharded(op, x: jax.Array, x0: jax.Array | None,
     )(*operands)
 
 
-def _sched_operands(op):
-    ragged = bool(op.levels)
-    ops_ = ((op.sched, op.sched_int, op.sched_suf) if ragged else ())
-    return ragged, ops_, (P("nodes"),) * len(ops_)
-
-
 def _chain_sharded(op, x: jax.Array, K: int,
                    band_scale: float | None = None) -> jax.Array:
     """The WHOLE K-term Chebyshev basis in ONE shard_map region.
@@ -474,15 +556,9 @@ def _chain_sharded(op, x: jax.Array, K: int,
     per-hop plain kernel (DESIGN.md §17).  Returns the stacked basis
     ``[K, Mp, C]`` (sharded P(None, 'nodes', None)); bit-exact with the
     per-hop path (same per-shard arithmetic, same order)."""
-    ragged = bool(op.levels)
-
     def local(band, base, *rest):
-        if ragged:
-            sf, si, ss, x_local = rest
-            scheds = (sf[0], si[0], ss[0])
-        else:
-            (x_local,) = rest
-            scheds = None
+        scheds, xs = _unwrap_scheds(op, rest)
+        (x_local,) = xs
         band, base = band[0], base[0]
 
         def hop(x1, x0):
@@ -525,15 +601,10 @@ def _adjoint_chain_sharded(op, g: jax.Array) -> jax.Array:
     the adjoint costs exactly one forward chain plus one plain SpMM —
     all inside a single dispatch."""
     K = g.shape[0]
-    ragged = bool(op.levels)
 
     def local(band, base, *rest):
-        if ragged:
-            sf, si, ss, g_local = rest
-            scheds = (sf[0], si[0], ss[0])
-        else:
-            (g_local,) = rest
-            scheds = None
+        scheds, xs = _unwrap_scheds(op, rest)
+        (g_local,) = xs
         band, base = band[0], base[0]
 
         def hop(x1, x0):
@@ -624,7 +695,9 @@ _banded_halo_chain.defvjp(_bhc_fwd, _bhc_bwd)
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["band", "base", "sched", "sched_int", "sched_suf"],
+    data_fields=["band", "base", "sched", "sched_int", "sched_suf",
+                 "bands_dkw", "sched_dkw", "sched_dkw_int",
+                 "sched_dkw_suf"],
     meta_fields=["mesh", "m", "m_padded", "nnz", "halo_left", "halo_right",
                  "rows_per_shard", "block_shape", "ring_slots",
                  "rows_per_step", "use_pallas", "boundary_pre",
@@ -674,6 +747,10 @@ class QuantBandedHaloLaplacian(QuantOpMixin):
     sched: jax.Array | None = None
     sched_int: jax.Array | None = None
     sched_suf: jax.Array | None = None
+    bands_dkw: tuple | None = None  # deep-K window twin (see float op)
+    sched_dkw: jax.Array | None = None
+    sched_dkw_int: jax.Array | None = None
+    sched_dkw_suf: jax.Array | None = None
 
     @property
     def band_width(self):
@@ -716,9 +793,26 @@ def quantize_banded_halo(op: BandedHaloLaplacian, headroom: float = 2.0,
         ).astype(jnp.int8),
         out_shardings=shard,
     )(op.band)
+    bands_dkw_q = None
+    if op.bands_dkw is not None:
+        # Re-derive the deep-K window layout from the QUANTIZED flat
+        # band so both layouts hold identical int8 values; the dkw
+        # schedules are layout metadata and carry over unchanged.
+        bands_np, _row0 = _dkw_per_shard(
+            np.asarray(jax.device_get(band_q)),
+            np.asarray(jax.device_get(op.sched)),
+            op.levels, op.rows_per_step, *op.block_shape,
+        )
+        bands_dkw_q = tuple(
+            jax.device_put(jnp.asarray(b), shard) for b in bands_np
+        )
     return QuantBandedHaloLaplacian(
         band=band_q,
         base=op.base,
+        bands_dkw=bands_dkw_q,
+        sched_dkw=op.sched_dkw,
+        sched_dkw_int=op.sched_dkw_int,
+        sched_dkw_suf=op.sched_dkw_suf,
         mesh=op.mesh,
         m=op.m,
         m_padded=op.m_padded,
@@ -891,6 +985,7 @@ def banded_halo_laplacian(
     # host-side numpy [n, nbr_s, W, br, bc] here).
     levels: tuple = ()
     sched_j = sched_int_j = sched_suf_j = None
+    bands_dkw_j = sched_dkw_j = sched_dkw_int_j = sched_dkw_suf_j = None
     shard = NamedSharding(mesh, P("nodes"))
     if ragged:
         levels, band, sched_np, sched_int_np, sched_suf_np, ring = (
@@ -900,6 +995,32 @@ def banded_halo_laplacian(
         sched_j = jax.device_put(jnp.asarray(sched_np), shard)
         sched_int_j = jax.device_put(jnp.asarray(sched_int_np), shard)
         sched_suf_j = jax.device_put(jnp.asarray(sched_suf_np), shard)
+        if use_pallas:
+            # Deep-K window twin layout (DESIGN.md §20): same band
+            # content, one wide dot per block-row in the kernel.  Region
+            # schedules reuse rows 1-2 (level idx, column high-water);
+            # row 0 becomes the per-level ROW offset.
+            bands_np, row0 = _dkw_per_shard(np.asarray(band), sched_np,
+                                            levels, G, br, bc)
+            nsb_s = nbr_s // G
+            pre_sb, suf_sb = pre // G, suf // G
+            sched_dkw_np = sched_np.copy()
+            sched_dkw_np[:, 0, :] = row0
+            sched_dkw_int_np = sched_int_np.copy()
+            if nsb_s - suf_sb > pre_sb and (pre_sb or suf_sb):
+                sched_dkw_int_np[:, 0, :] = row0[:, pre_sb:nsb_s - suf_sb]
+            sched_dkw_suf_np = sched_suf_np.copy()
+            if suf_sb:
+                sched_dkw_suf_np[:, 0, :] = row0[:, nsb_s - suf_sb:]
+            bands_dkw_j = tuple(
+                jax.device_put(jnp.asarray(b), shard) for b in bands_np
+            )
+            sched_dkw_j = jax.device_put(jnp.asarray(sched_dkw_np),
+                                         shard)
+            sched_dkw_int_j = jax.device_put(
+                jnp.asarray(sched_dkw_int_np), shard)
+            sched_dkw_suf_j = jax.device_put(
+                jnp.asarray(sched_dkw_suf_np), shard)
 
     # Pre-shard the per-shard fields over 'nodes' (like sparse_halo):
     # otherwise the FULL global band lands on one device and every call
@@ -925,4 +1046,8 @@ def banded_halo_laplacian(
         sched=sched_j,
         sched_int=sched_int_j,
         sched_suf=sched_suf_j,
+        bands_dkw=bands_dkw_j,
+        sched_dkw=sched_dkw_j,
+        sched_dkw_int=sched_dkw_int_j,
+        sched_dkw_suf=sched_dkw_suf_j,
     )

@@ -1130,6 +1130,43 @@ def main_raggedshard(argv):
           flush=True)
     assert d == 0.0, d
 
+    # Int8 bit-exactness of the SHARDED chain (deep-K window regions)
+    # vs the single-chip quantized chain: identical integer arithmetic
+    # per row regardless of layout/levels, so the comparison is exact.
+    from cnn_graph_tpu.ops import device_laplacian, quantize_banded
+    from cnn_graph_tpu.parallel import quantize_banded_halo
+
+    sop = quantize_banded(
+        device_laplacian(L, fmt="banded", dtype=jnp.bfloat16),
+        sample_x=3.0,
+    )
+    qh = quantize_banded_halo(forced, sample_x=3.0)
+    m = min(sop.m_padded, plain.m_padded)
+    xq_np = np.random.default_rng(1).integers(
+        -100, 100, (max(sop.m_padded, plain.m_padded), 256)
+    ).astype(np.int8)
+
+    @jax.jit
+    def chain_single(q, x):
+        b = [x, q.spmm_q(x)]
+        for _ in range(2, K):
+            b.append(q.cheby_hop_q(b[-1], b[-2]))
+        return jnp.stack(b)
+
+    @jax.jit
+    def chain_shard(q, x):
+        return q.cheby_chain_q(x, K)
+
+    want = jax.device_get(chain_single(sop,
+                                       jnp.asarray(xq_np[:sop.m_padded])))
+    with mesh:
+        got = jax.device_get(chain_shard(qh,
+                                         jnp.asarray(xq_np[:plain.m_padded])))
+    eq = np.array_equal(np.asarray(got)[:, :m], np.asarray(want)[:, :m])
+    print(f"int8 sharded(dkw,split) vs single-chip chain bit-exact: {eq}",
+          flush=True)
+    assert eq
+
 
 def main_filters10k(argv):
     """Every non-Chebyshev filter at the 10k-word text topology
