@@ -376,7 +376,7 @@ def _sharded_chain_section(L, X, K=25):
         einsums cheap; step-varying features stop XLA hoisting the
         chain out of the scan."""
         @jax.jit
-        def run(op, w, x):
+        def run(op, w0, x):
             def body(w, i):
                 def loss_fn(w):
                     xx = (x * (1.0 + 1e-6 * i.astype(jnp.float32))
@@ -389,8 +389,7 @@ def _sharded_chain_section(L, X, K=25):
                 l, g = jax.value_and_grad(loss_fn)(w)
                 return w - 1e-3 * g, l
 
-            w, losses = jax.lax.scan(body, jnp.ones((K,), jnp.float32),
-                                     jnp.arange(u))
+            w, losses = jax.lax.scan(body, w0, jnp.arange(u))
             return jnp.mean(losses)
 
         return run
@@ -408,7 +407,9 @@ def _sharded_chain_section(L, X, K=25):
         dt = per / (K - 1)
         out["int8_us_per_spmm"] = round(dt * 1e6, 1)
         out["int8_edges_per_s"] = round(hop.nnz / dt / 1e9, 4)
-        per, _f = slope_time(make_train, (hop, X), units=(2, 8))
+        per, _f = slope_time(make_train,
+                             (hop, jnp.ones((K,), jnp.float32), X),
+                             units=(2, 8))
         n_spmm = 2 * (K - 1) + 1
         out["train_ms_per_step"] = round(per * 1e3, 2)
         out["train_spmm_equivalents"] = n_spmm
