@@ -93,11 +93,12 @@ def trace(log_dir: str):
 # datasheet 197T), int8 370 TOP/s (94% of 394T).  The 'float32' entry
 # is the DEFAULT-PRECISION rate for f32-typed matmuls: XLA's TPU
 # default lowers them to single-pass bf16 compute with f32
-# accumulation (measured 140 TFLOP/s) — which is exactly what every
-# f32-operand matmul in this library runs, so it is the honest roofline
-# for those kernels.  Faithful fp32 precision (precision=HIGHEST,
-# multi-pass bf16 emulation) runs far slower — measure it with the
-# `_probe.py peak` f32_hi row; no shipped kernel requests it.
+# accumulation (measured 140-153 TFLOP/s across sessions) — which is
+# exactly what every f32-operand matmul in this library runs, so it is
+# the honest roofline for those kernels.  Faithful fp32 precision
+# (precision=HIGHEST, multi-pass bf16 emulation) runs far slower —
+# measured 30.1 TFLOP/s (`_probe.py peak` f32_hi row, 2026-08-21); no
+# shipped kernel requests it.
 # The round-1 'measured peaks' (bf16 114T / int8 153T) were single-call
 # wall-clock numbers that silently folded the tunnel's fixed ~25.6 ms
 # per-dispatch host round-trip into the rate — slope-fit timing
