@@ -747,7 +747,84 @@ def _scattered_section(K=5, C=512):
     out["test_acc_f32"] = round(acc_f, 4)
     out["test_acc_int8"] = round(acc_q, 4)
     out["acc_delta_int8"] = round(acc_q - acc_f, 4)
+
+    # ABOVE-dense-budget scattered graph (RCV1-scale shape,
+    # lib/utils.py:162-218): BSR is the production path; the
+    # column-streamed unrolled kernel's rates ride in the driver's
+    # artifact (VERDICT round-4 next-step #5).
+    try:
+        out["bsr_50k_scattered"] = _scattered_bsr_rates()
+    except Exception as e:  # noqa: BLE001 — degrade, don't die
+        out["bsr_50k_scattered"] = {"status": "failed",
+                                    "error": repr(e)[:200]}
     return out
+
+
+def _scattered_bsr_rates(n=50000, K=25, C=512):
+    """Column-streamed BSR chain rates on a 50k embedding-kNN graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_graph_tpu.graphs import construction as gc
+    from cnn_graph_tpu.ops import (
+        cheby_finals,
+        device_laplacian,
+        quantize_block_sparse,
+    )
+    from cnn_graph_tpu.utils.profiling import slope_time
+
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(n, 8)).astype(np.float32)
+    dist, idx = gc.knn(z, k=10, algorithm="auto")
+    W = gc.adjacency(dist, idx)
+    perm = gc.bandwidth_reducing_permutation(W)
+    W = W[perm][:, perm].tocsr()
+    L = gc.laplacian(W, normalized=True)
+    op = device_laplacian(L, fmt="bsr", block_size=128,
+                          dtype=jnp.bfloat16, use_pallas=True)
+    qop = quantize_block_sparse(op, sample_x=3.0)
+    X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
+    nb = int(op.block_cols.shape[0])
+
+    def make_chain(u):
+        @jax.jit
+        def chain(o, x):
+            def body(_, carry):
+                y = cheby_finals(o, carry, K)
+                s = jax.lax.rsqrt(
+                    jnp.mean(y.astype(jnp.float32) ** 2) + 1e-6
+                )
+                return (y * s).astype(x.dtype)
+
+            out = jax.lax.fori_loop(0, u, body, x)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return chain
+
+    def make_chain_q(u):
+        @jax.jit
+        def chain_q(q, x):
+            xq = q.quantize(x.astype(jnp.float32))
+            out = jax.lax.fori_loop(
+                0, u, lambda _, v: cheby_finals(q, v, K), xq
+            )
+            return jnp.mean(q.dequantize(out) ** 2)
+
+        return chain_q
+
+    res = {"nodes": int(op.m), "nnz": int(op.nnz), "blocks": nb,
+           "kernel": "column-streamed unrolled"
+                     if op.col_stream else "per-block",
+           "config": "50k embedding-kNN (8-D, k=10), RCM, K=25"}
+    per, _f = slope_time(make_chain, (op, X), units=(2, 6))
+    dt = per / (K - 1)
+    res["bf16_us_per_spmm"] = round(dt * 1e6, 1)
+    res["bf16_ns_per_block"] = round(dt / nb * 1e9, 1)
+    per, _f = slope_time(make_chain_q, (qop, X), units=(2, 6))
+    dt = per / (K - 1)
+    res["int8_us_per_spmm"] = round(dt * 1e6, 1)
+    res["int8_ns_per_block"] = round(dt / nb * 1e9, 1)
+    return res
 
 
 def _section_subprocess(flag: str, timeout_s: int):
@@ -881,7 +958,7 @@ def main():
     )
     scattered = _section_subprocess(
         "--scatter-only", int(os.environ.get("BENCH_SCATTER_TIMEOUT_S",
-                                             "600"))
+                                             "1200"))
     )
 
     # Headline: the production-scale planar-graph K=25 recurrence — the
