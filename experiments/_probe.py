@@ -644,10 +644,15 @@ def main_dkw(argv):
     from cnn_graph_tpu.utils.profiling import slope_time
 
     side = int(argv[0]) if argv else 224
+    G_override = int(argv[1]) if len(argv) > 1 else None
     K, C, outer = 25, 512, 4
     L, _ = city_graph(side, k=8, seed=0)
-    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16)
+    op = device_laplacian(L, fmt="banded", dtype=jnp.bfloat16,
+                          rows_per_step=G_override)
     qop = quantize_banded(op, sample_x=3.0)
+    print(f"G={op.rows_per_step} levels={op.levels} "
+          f"ring={op.ring_slots}", flush=True)
+    int8_only = G_override is not None  # big-G bf16 can exceed VMEM
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(op.m_padded, C)), jnp.bfloat16)
 
@@ -759,12 +764,16 @@ def main_dkw(argv):
     print(f"int8 K={K} chain dkw-vs-tap maxdiff: {d} (bit-exact=0)",
           flush=True)
 
-    for name, mk, args in (
+    variants = [
         ("tap_int8", make_current_q, (qop, X)),
         ("dkw_int8", make_dkw_q, (qop, bands_q, sched_q, X)),
-        ("tap_bf16", make_current_f, (op, X)),
-        ("dkw_bf16", make_dkw_f, (op, bands_f, sched_f, X)),
-    ):
+    ]
+    if not int8_only:
+        variants += [
+            ("tap_bf16", make_current_f, (op, X)),
+            ("dkw_bf16", make_dkw_f, (op, bands_f, sched_f, X)),
+        ]
+    for name, mk, args in variants:
         per_block, _f = slope_time(mk, args, units=(outer, 4 * outer))
         dt = per_block / (K - 1)
         print(f"{name:9s} {dt*1e6:7.1f} us/spmm "
